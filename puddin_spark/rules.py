@@ -1,0 +1,214 @@
+"""Pure-Python scrub + keep/drop rules (no Spark imports).
+
+These functions are the single source of truth for the pipeline's per-document
+semantics. They are shared verbatim between plain pytest unit tests (byte
+identity vs the reference demo fixtures) and the Arrow-vectorized pandas UDFs
+in puddin_spark.udfs — that sharing is what makes byte-identity testable
+(SURVEY.md section 4, item 2).
+
+Semantics reproduce the reference exactly, including its quirks:
+
+* Pattern strings are transcribed from the reference's compiled regexes
+  (/root/reference/script/pile_regex_imports.py) — the patterns ARE the spec.
+  Two malformed quantifiers ('{2:3}' at pile_regex_imports.py:23 and '{3:}'
+  at :31) are literals under Python `re` and must stay that way; this is why
+  all regex work runs in Python `re` inside pandas UDFs, never in Spark's
+  Java-regex `regexp_replace`/`rlike` (Java rejects them, and the inline
+  '(?#...)' comments at :59-64 are not valid Java regex either).
+* Scrub order is clean_df's (parse_pile.py:894-974): transliterate (C1) →
+  bbcode-url unwrap (C2) → url removal (C3) → missing-space repair (C4) →
+  [exclusion battery runs HERE on the mid-state text] → punctuation-run
+  paragraph breaks (C5) → line-break abbreviation repair (C6).
+* The exclusion battery is first-match-wins in the order ?unk, wiki, html,
+  json, code, _wrd, a0wrd, punc (pull_exclusions parse_pile.py:983-1081 +
+  exclude_regex :1084-1107; dict order :1086-1092).
+* Faithful quirk: the '?unk' stage checks `text.str.contains('<__?UNK__>')`
+  with pandas' default regex=True (parse_pile.py:1009), and as a REGEX
+  '<__?UNK__>' can never match the literal sentinel '<__?UNK__>' (the '?'
+  makes the second '_' optional, but the literal has a '?' where the regex
+  then requires 'U'). So '?unk' never fires on sentinel-bearing docs; they
+  fall through and are caught by '_wrd' (the sentinel's '__' matches).
+  We reproduce that by compiling the sentinel as a regex, same as pandas.
+* 'fail' at parse time: a doc whose text (stripped of quote chars) parses as
+  JSON is dropped with excl_type='fail' (parse_pile.py:1428-1438); so is a
+  doc whose parse raises (:1443-1447).
+"""
+from __future__ import annotations
+
+import json
+import re
+
+from puddin_spark.translit import UNK, transliterate
+
+# --- pattern transcriptions (reference: pile_regex_imports.py, cited lines) ---
+
+# :3
+LIKELY_HTML = re.compile(r"<(\w*).*>[^<]*</\1>")
+# :5-6
+DEFWIKI = re.compile(r"<nowiki>")
+WIKIPAT = re.compile(r"[{[]{2,}[^|}\]]+\|[^}\]]*\}{2,}")
+# :21
+BRACKET_URL = re.compile(r"\[url=[^\]]*]([^[]*)\[/url\]")
+# :22-25 ('{2:3}' is a literal-brace quirk, keep verbatim)
+LIKELY_URL = re.compile(
+    r"https?://\S*\s|www\.\S*\s|[\w\d]+\.[\w\d]+\.[\w\d]+\S*\s|http://www\.\w+\.\w{2:3}"
+)
+# :29-31 ('{3:}' literal-brace quirk)
+MIXED_LETTER_DIGIT = re.compile(
+    r"\d*[a-z]+\d+[a-z]*\d*[a-z]*" r"|\d{3:}[a-z]+[a-z]*\d*[a-z]*", re.IGNORECASE
+)
+# :35
+UNDERSCORE_WORD = re.compile(r"[\w]*?_[\w]+?")
+# :36-37
+MIDWORD_PUNC = re.compile(r"\b[a-z]+[^\w\s\-\'/\\&@]+?[a-zA-Z]+\b")
+# :40-41
+MISSING_SPACE = re.compile(
+    r"(?# lowercaseUppercase with no \s)([a-z]+)([A-Z])"
+    r"|(?# word-edge punc with no \s)([a-z][.!?,;:]+)([A-Z])"
+)
+# :43-45
+CODE_LIKE = re.compile(
+    r"(=|[=!><][=!><])\s?(self|true|false|\w+\.?\w*)", re.IGNORECASE
+)
+# :48
+JSON_LIKE = re.compile(r'{"\w+":{"\w+":')
+# :53-58
+EOL_ABBR = re.compile(
+    r"(?:(Mr|M[sx]|Messrs|Mmes|[SG]en|[FS]t|Re[vp]|Pr(?:es|of)|Supe?|Capt"
+    r"|Asst|Ms?gr|Engr?|Assoc|Arb|Assemb|Pharm?|Hon|i\.e|e\.g|ca?"
+    r"|(?<![A-Z])[A-Z](?![A-Z]))(e?s?\.[^\w\n]?)\n([^\n\w]?[A-Z]))"
+    r"|(?<!\n)\n([^\n\w]?[A-Z]{2,})"
+    r"|(Jan|Feb|Mar|Apr|Ju[nl]|Aug|Sept?|Nov|Oct|Dec)(\.?)\n(?=\d)"
+)
+# :59-64 (inline (?#...) comments are Python-re-only)
+PUNC_ONLY = re.compile(
+    r"(?# full line nonword chars only )^([\W_]+)$"
+    r"|(?# any punc/non`\n`ws repeated 4+)(_|[^\w\n])(\2{4,})"
+    r"|(?# punc/non`\n`ws except . repeated 4)([^a-z\d.\n])(\4{3})"
+    r"|(?# punc/non`\n`ws except .!?$*= or blank repeated 3)([^a-z\d.!?$=* \n])(\6{2})",
+    re.MULTILINE | re.IGNORECASE,
+)
+# :65-67
+LINEBREAK_IS_SENT = re.compile(
+    r"(?:(?#1--> )([^A-Z\n]{3,}[.?!;][\'\"?! \t\f\v\r]*|\.{4,})\n[ \t\f\v\r]*(?#2--> )([(#[\"\']?[A-Z]|\W*?\d+\W*?\w))"
+    r"|(?:(?#3--> )(\D[.;:][\'\"?! \t\f\v\r]*)\n[ \t\f\v\r]*(?#4--> )([\(\#\[\"\']?[A-Z]|[\#\[\(]\d+[\)\]]))"
+)
+# :69-70
+SOLONEW_OR_DUPWHITE = re.compile(r"(?<![\n])(\n)(?!\n)|([ \t\f\v\r])\2+")
+EXTRA_NEWLINES = re.compile(r"\n{3,}")
+
+# '?unk' stage: the sentinel compiled AS A REGEX (pandas str.contains default,
+# parse_pile.py:1009) — deliberately never matches the literal sentinel.
+UNK_AS_REGEX = re.compile(UNK)
+
+# canonical label order (validate_data_group.py:338-339)
+EXCL_TYPES = ["?unk", "wiki", "html", "json", "code", "_wrd", "a0wrd", "punc", "fail"]
+
+
+# --- scrub chain ---
+
+def scrub_stage1(text: str) -> str:
+    """C1-C4: transliterate, unwrap bbcode urls, strip urls, repair missing
+    spaces (clean_df, parse_pile.py:910-934). Output = the mid-state text the
+    exclusion battery sees."""
+    t = transliterate(text)
+    t = BRACKET_URL.sub(r"\1", t)
+    t = LIKELY_URL.sub(" ", t)
+    t = MISSING_SPACE.sub(r"\1\3 \2\4", t)
+    return t
+
+
+def scrub_stage2(mid: str) -> str:
+    """C5-C6: punctuation-run paragraph breaks + line-break abbreviation
+    repair (clean_df, parse_pile.py:956-961). Applied to KEPT docs only."""
+    t = PUNC_ONLY.sub(r"\1\2\3\4\5\6\7\n\n", mid)
+    t = EOL_ABBR.sub(r"\1\2\5\6 \3\4", t)
+    return t
+
+
+def scrub(raw: str) -> str:
+    """Full scrub chain for a kept document (byte-identical to the
+    reference's final-df `text`)."""
+    return scrub_stage2(scrub_stage1(raw))
+
+
+def remove_breaks(textstr: str) -> str:
+    """C7, applied at segmentation time (parse_pile.py:1535-1540): single
+    newlines and duplicated whitespace -> ' ', then 3+ newlines -> 2."""
+    cleantext = SOLONEW_OR_DUPWHITE.sub(r" ", textstr.strip())
+    return EXTRA_NEWLINES.sub("\n\n", cleantext)
+
+
+# --- keep/drop battery ---
+
+_REGEX_CASCADE = [
+    ("json", JSON_LIKE),
+    ("code", CODE_LIKE),
+    ("_wrd", UNDERSCORE_WORD),
+    ("a0wrd", MIXED_LETTER_DIGIT),
+    ("punc", MIDWORD_PUNC),
+]
+
+
+def classify(mid: str) -> str | None:
+    """First-match-wins exclusion label on the mid-state (post-C4) text, or
+    None to keep. Order per pull_exclusions (parse_pile.py:1009,1021,1031,
+    1084-1107)."""
+    if UNK_AS_REGEX.search(mid):
+        return "?unk"
+    if DEFWIKI.search(mid) or WIKIPAT.search(mid):
+        return "wiki"
+    if LIKELY_HTML.search(mid):
+        return "html"
+    for label, pat in _REGEX_CASCADE:
+        if pat.search(mid):
+            return label
+    return None
+
+
+def is_jsonish(textstr: str) -> bool:
+    """Parse-time 'fail' gate (parse_pile.py:1428-1438): text that parses as
+    JSON after stripping surrounding quote chars is dropped."""
+    try:
+        json.loads(textstr.strip("\"'"))
+    except (json.JSONDecodeError, ValueError):
+        return False
+    return True
+
+
+# --- sentence segmentation (lightweight stand-in for the reference's Stanza
+# tokenizer; the linebreak re-split mirrors _confirm_parse/try_redoc,
+# parse_pile.py:1474-1624) ---
+
+_SENT_END = re.compile(r"(?<=[.?!])[\"')\]]*\s+(?=[\"'(\[]?[A-Z0-9])")
+
+
+def segment_sentences(clean_text: str) -> list[str]:
+    """Split a scrubbed document into sentence strings.
+
+    1. Paragraph-level split on blank lines.
+    2. Within a paragraph, split where LINEBREAK_IS_SENT says a line break is
+       a sentence boundary (reference pile_regex_imports.py:65-67).
+    3. Then split on terminal punctuation followed by a capital/digit.
+    4. Each sentence is remove_breaks()-normalized, mirroring the '# text ='
+       comments (parse_pile.py:1509-1512).
+    """
+    sents: list[str] = []
+    for para in re.split(r"\n{2,}", clean_text.strip()):
+        if not para.strip():
+            continue
+        pieces = [para]
+        out_pieces: list[str] = []
+        for piece in pieces:
+            last = 0
+            for m in LINEBREAK_IS_SENT.finditer(piece):
+                cut = piece.index("\n", m.start(), m.end()) if "\n" in m.group(0) else m.end()
+                out_pieces.append(piece[last:cut])
+                last = cut + 1
+            out_pieces.append(piece[last:])
+        for chunk in out_pieces:
+            chunk = remove_breaks(chunk)
+            if not chunk:
+                continue
+            sents.extend(s for s in _SENT_END.split(chunk) if s.strip())
+    return sents

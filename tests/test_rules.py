@@ -1,0 +1,74 @@
+"""Byte-identity + label-parity unit tests for the pure rules (no Spark).
+
+Golden expectations in tests/fixtures/golden.json were extracted from the
+reference demo artifacts (see tools/extract_fixtures.py): raw input text, the
+mid-stage (post C1-C4) text, the first-match exclusion label, and the final
+scrubbed text for kept docs.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from puddin_spark import rules
+
+GOLDEN = json.loads(
+    (Path(__file__).parent / "fixtures" / "golden.json").read_text()
+)
+IDS = [r["text_id"] for r in GOLDEN]
+
+
+@pytest.mark.parametrize("rec", GOLDEN, ids=IDS)
+def test_stage1_byte_identity(rec):
+    """C1-C4 scrub must reproduce the reference mid-state text exactly."""
+    assert rules.scrub_stage1(rec["raw"]) == rec["mid"]
+
+
+@pytest.mark.parametrize("rec", GOLDEN, ids=IDS)
+def test_label_parity(rec):
+    got = rules.classify(rules.scrub_stage1(rec["raw"]))
+    want = None if rec["label"] == "keep" else rec["label"]
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "rec", [r for r in GOLDEN if r["label"] == "keep"], ids=[r["text_id"] for r in GOLDEN if r["label"] == "keep"]
+)
+def test_full_scrub_byte_identity(rec):
+    """Full scrub of kept docs must be byte-identical to the final-df text."""
+    assert rules.scrub(rec["raw"]) == rec["clean"]
+
+
+def test_unk_regex_quirk():
+    """The ?unk stage can never match the literal sentinel (pandas regex
+    quirk, parse_pile.py:1009) — sentinel docs fall through to '_wrd'."""
+    assert rules.UNK_AS_REGEX.search("x <__?UNK__> y") is None
+    assert rules.classify("plain text with <__?UNK__> inside") == "_wrd"
+    # ...but the regex does match the de-optionalized variants
+    assert rules.UNK_AS_REGEX.search("x <__UNK__> y")
+    assert rules.UNK_AS_REGEX.search("x <_UNK__> y")
+
+
+def test_literal_brace_quirks():
+    """'{2:3}' and '{3:}' are literals under Python re (the reference's
+    latent bugs, pile_regex_imports.py:23,31) — must NOT act as quantifiers."""
+    # likely_url's 4th alternative requires the literal '{2:3}' text
+    assert rules.LIKELY_URL.fullmatch("http://www.example.co") is None
+    # a0wrd 2nd alternative needs literal '{3:}'; 1st alternative still works
+    assert rules.MIXED_LETTER_DIGIT.search("mp4converter")
+    assert not rules.MIXED_LETTER_DIGIT.search("plain words only")
+
+
+def test_is_jsonish():
+    assert rules.is_jsonish('{"a": 1}')
+    # quote-stripping quirk (parse_pile.py:1430): '"5"' -> '5' -> valid JSON
+    assert rules.is_jsonish('"5"')
+    assert not rules.is_jsonish("Normal sentence here.")
+
+
+def test_segmentation_basic():
+    sents = rules.segment_sentences("First sentence. Second one! Third?\n\nNew para here.")
+    assert sents[0] == "First sentence."
+    assert "New para here." in sents
