@@ -1,0 +1,222 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, scale-ranked:
+- exact: hash-groupBy on a digest — the shuffle moves 32-byte sha256 digests,
+  never document bodies, so it survives 10^12 docs (the reference's
+  drop_duplicates(subset='raw'), parse_pile.py:588, shuffled full text).
+- minhash + LSH banding: char-shingle -> k minhashes -> band keys -> bucket
+  self-join -> exact-Jaccard verification. Built ENTIRELY from built-in
+  expressions (md5/transform/aggregate) — no Python in the hot path, and the
+  self-join key (band hash) is broadcast-free and AQE-skew-splittable.
+- simhash: 64-bit token-hash sign-aggregate fingerprint; Hamming-adjacent
+  buckets for near-dup candidates.
+- n-gram Jaccard: exact word-n-gram overlap for candidate pairs (the
+  verification primitive, also exposed standalone).
+
+All hashing is md5-hex based so a DuckDB oracle can reproduce results
+bit-for-bit (Spark's xxhash64/hash are not portable across engines).
+"""
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", order_cols: tuple = ("doc_id",)) -> DataFrame:
+    """Keep-first exact dedup via digest window. Only the digest shuffles."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def char_shingles(text_col: str, k: int = 5):
+    """Distinct character k-grams as an array column (built-ins only)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substr({text_col}, i, {k})))"
+    )
+
+
+def minhash_signature(shingle_col: str, num_hashes: int = 16):
+    """k portable minhashes: lexicographic min of md5(shingle || ':' || j).
+
+    min over a uniform hash is the classic minhash; using the hex STRING
+    ordering keeps Spark and any SQL oracle bit-identical.
+    """
+    return F.array(
+        *[
+            F.expr(f"array_min(transform({shingle_col}, s -> md5(concat(s, ':{j}'))))")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash, verified by exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale shape: signatures are tiny (k hex strings), band explode multiplies
+    rows by num_bands, the self-join shuffles on band hash (high cardinality,
+    uniform), and only verified candidates ever touch the (pre-aggregated
+    distinct) shingle arrays again.
+    """
+    num_bands = num_hashes // band_size
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .withColumn("sh", char_shingles("t", shingle_k))
+        .withColumn("mh", minhash_signature("sh", num_hashes))
+    )
+    bands = sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.expr(f"mh[{b * band_size + r}]") for r in range(band_size)],
+                        )
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band_ix", "band_key"),
+    )
+    left = bands.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_ix", "band_key"
+    )
+    right = bands.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_ix", "band_key"
+    )
+    cand = (
+        left.join(right, ["band_ix", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = cand.withColumn(
+        "jaccard",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+            6,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= jaccard_threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# --- simhash (64-bit, token-level) ---
+
+def simhash64(text: str) -> int:
+    """Pure-Python 64-bit simhash over whitespace tokens, md5-based (so a SQL
+    oracle can reproduce it). Sign-aggregate of token hash bits."""
+    acc = [0] * 64
+    toks = set(text.split())
+    for tok in toks:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    v = 0
+    for b in range(64):
+        if acc[b] > 0:
+            v |= 1 << b
+    # map to signed int64 for Spark LongType
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: simhash64(t) if t is not None else None)
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col="doc_id", text_col="text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, blocked on 16-bit chunks:
+    two 64-bit hashes within Hamming distance 3 share at least one exact
+    16-bit quarter (pigeonhole), so the self-join runs on quarter keys, not
+    the full cross product."""
+    sims = simhash_table(df, id_col, text_col)
+    q = sims.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.expr(f"(simhash >> {16 * i}) & 65535") for i in range(4)])
+        ).alias("qix", "qval"),
+    )
+    a = q.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "qix", "qval")
+    b = q.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "qix", "qval")
+    pairs = (
+        a.join(b, ["qix", "qval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def word_ngrams(text_col: str, n: int = 3):
+    """Distinct word n-grams as an array column (built-ins only)."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for all pairs within a blocking key.
+    Without a block column this is quadratic — at scale always pass one
+    (e.g. LSH band, source bucket, length bucket)."""
+    g = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(text_col, n).alias("ng"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = g.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"), "blk")
+    b = g.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ng_a", "ng_b"))
+                / F.size(F.array_union("ng_a", "ng_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k. The query side is broadcast (it's
+  small by construction); the corpus side streams — no shuffle of the corpus
+  at all, so this scales to any corpus size that the executors can scan.
+  Dot products run in JVM whole-stage codegen via `aggregate`/`zip_with` —
+  no Python.
+- srp_buckets / srp_candidate_pairs: sign-random-projection LSH. Hyperplane
+  weights come from an integer LCG on (plane, dim) — exact in both Spark and
+  any SQL oracle (no libm sin() drift). At 10^12 rows the bucket key is the
+  shuffle key; candidates within a bucket are verified exactly.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine_col(a: str, b: str):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos_sim).
+    Deterministic tie-break on (sim desc, neighbor_id asc); self-matches
+    excluded. Rounded to 6 dp so independent engines agree bit-for-bit."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine_col("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def srp_weight_expr(plane: int, dim_var: str = "i") -> str:
+    """Deterministic pseudo-random hyperplane weight in [-0.5, 0.5), exact
+    integer arithmetic so any engine reproduces it:
+      w(p, i) = ((1103515245*(i + 7919*p) + 12345) mod 1000) / 999 - 0.5
+    """
+    return (
+        f"(cast(pmod(cast(1103515245 as bigint) * (cast({dim_var} as bigint)"
+        f" + 7919 * {plane}) + 12345, 1000) as double) / 999.0 - 0.5)"
+    )
+
+
+def srp_bucket_col(vec_col: str, num_planes: int = 8):
+    """LSH bucket id = sum over planes of (dot(v, w_p) > 0) << p."""
+    bits = []
+    for p in range(num_planes):
+        dot = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+            f" (x, i) -> cast(x as double) * {srp_weight_expr(p)}),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
+    return F.expr(" + ".join(bits))
+
+
+def srp_buckets(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", num_planes: int = 8
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        srp_bucket_col(vec_col, num_planes).alias("bucket"),
+    )
+
+
+def srp_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    min_cos: float = 0.0,
+) -> DataFrame:
+    """ANN candidate pairs: same SRP bucket, verified by exact cosine."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        srp_bucket_col(vec_col, num_planes).alias("bucket"),
+    )
+    a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_col("v_a", "v_b"), 6))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", "bucket", "cos_sim")
+    )

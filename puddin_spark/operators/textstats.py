@@ -1,0 +1,93 @@
+"""Text analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+
+Everything here is built-in-expression only (JVM codegen, no Python), and
+each has an exact SQL twin for the DuckDB oracle. These are the graft-axis
+scoring columns the north_star adds on top of the reference's battery; at
+run time they ride the same scan as the scrub UDF.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small English function-word profile for the n-gram/stopword heuristic
+EN_STOPWORDS = (
+    "the of and to in a is that it was for on are as with his they at be this "
+    "have from or had by word but not what all were we when your can said there "
+    "use an each which she do how their if"
+).split()
+
+_SW_ARRAY = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+
+def tokens_expr(text_col: str) -> str:
+    return f"split(trim(lower({text_col})), '\\\\s+')"
+
+
+def token_count_col(text_col: str):
+    """Whitespace token count."""
+    return F.expr(f"size({tokens_expr(text_col)})")
+
+
+def word_token_count_col(text_col: str):
+    """BPE-ish word-piece count: runs of letters/digits or single punct."""
+    return F.expr(f"size(regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9\\\\s]', 0))")
+
+
+def stopword_ratio_col(text_col: str):
+    toks = tokens_expr(text_col)
+    return F.expr(
+        f"cast(size(filter({toks}, w -> array_contains({_SW_ARRAY}, w))) as double)"
+        f" / greatest(size({toks}), 1)"
+    )
+
+
+def punct_ratio_col(text_col: str):
+    return F.expr(
+        f"cast(size(regexp_extract_all({text_col}, '[^0-9A-Za-z\\\\s]', 0)) as double)"
+        f" / greatest(length({text_col}), 1)"
+    )
+
+
+def mean_word_len_col(text_col: str):
+    toks = tokens_expr(text_col)
+    return F.expr(
+        f"cast(aggregate({toks}, 0, (acc, w) -> acc + length(w)) as double)"
+        f" / greatest(size({toks}), 1)"
+    )
+
+
+def langid_en_score_col(text_col: str):
+    """Heuristic English likelihood = stopword hit ratio (n-gram profile
+    stand-in for fastText, which is unavailable here; the UDF seam in
+    models.py upgrades this when a real model is present)."""
+    return stopword_ratio_col(text_col)
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard quality-signal columns. One scan, all codegen."""
+    return (
+        df.withColumn("n_tokens", token_count_col(text_col))
+        .withColumn("n_word_pieces", word_token_count_col(text_col))
+        .withColumn("stopword_ratio", F.round(stopword_ratio_col(text_col), 6))
+        .withColumn("punct_ratio", F.round(punct_ratio_col(text_col), 6))
+        .withColumn("mean_word_len", F.round(mean_word_len_col(text_col), 6))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.col("stopword_ratio") * 2, F.lit(1.0)) * 0.5
+                + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.3
+                + F.when(
+                    (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 0.2
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+    )
+
+
+def fingerprint_col(text_col: str):
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercased text (rolling-hash analog, portable across engines)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))

@@ -1,0 +1,163 @@
+"""The quality-filter pipeline as a declarative DataFrame program.
+
+Reference lifecycle (SURVEY.md section 3.1, parse_pile.py): jsonl scan +
+subset filter -> dedup keep-first -> id synthesis -> scrub C1-C4 -> exclusion
+battery -> scrub C5-C6 -> slice/partition -> parse. Here each step is a
+Catalyst-visible DataFrame op; the only opaque islands are the two
+Arrow-batched pandas UDFs (scrub+classify, segmentation), whose ordering is
+load-bearing (filter order defines labels) and which Catalyst correctly
+treats as a unit.
+
+Scale posture (north_rule):
+- language gate + column pruning happen BEFORE the UDF so parquet scans push
+  the `lang` filter down and never ship `html` bytes into Python;
+- explicit repartition by url-hash before the heavy UDF stage gives uniform
+  work units (reference analog: 9,999-doc slices, parse_pile.py:34) and
+  avoids inheriting skewed upstream partitioning;
+- dedup keep-first is a window over (text) ordered by (warc_ts, url): a
+  single hash shuffle on the full text. At 10^12 docs, swap the window key
+  for sha2(text) via dedup_exact (operators/dedup.py) so the shuffle moves
+  32-byte digests, not documents — semantics identical, both first-wins.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from puddin_spark.udfs import process_udf, segment_udf
+
+OUTPUT_COLS = ["doc_id", "url", "warc_ts", "lang", "clean_text", "keep", "excl_type"]
+
+
+def doc_id_col(url: Column | str = "url") -> Column:
+    """Stable document key: sha2(url) (SURVEY.md section 1.4; replaces the
+    reference's positional text ids, parse_pile.py:745-788)."""
+    return F.sha2(F.col(url) if isinstance(url, str) else url, 256)
+
+
+def dedup_first(pages: DataFrame, key: str = "text") -> DataFrame:
+    """Deterministic keep-first exact dedup (reference: drop_duplicates on
+    raw, parse_pile.py:588). 'First' = min (warc_ts, url) — explicit order,
+    unlike pandas' implicit ingest order, so it's stable under parallelism."""
+    w = Window.partitionBy(key).orderBy("warc_ts", "url")
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def quality_pipeline(
+    pages: DataFrame,
+    *,
+    selected_lang: str = "en",
+    dedup: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> per-document verdict table
+    (doc_id, url, warc_ts, lang, clean_text, keep, excl_type).
+
+    Dropped docs keep their excl_type label (the reference's exclusions df,
+    parse_pile.py:988-990) — keep and drop sides live in one table, split by
+    the `keep` flag (SURVEY.md section 1.4).
+    """
+    df = pages.filter(F.col("lang") == selected_lang)
+    # prune early: html bytes never reach the Python workers
+    df = df.select("url", "warc_ts", "lang", "text")
+    if dedup:
+        df = dedup_first(df)
+    if num_partitions:
+        df = df.repartition(num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions)))
+    out = df.withColumn("_res", process_udf(F.col("text")))
+    return out.select(
+        doc_id_col().alias("doc_id"),
+        "url",
+        "warc_ts",
+        "lang",
+        F.col("_res.clean_text").alias("clean_text"),
+        F.col("_res.excl_type").isNull().alias("keep"),
+        F.col("_res.excl_type").alias("excl_type"),
+    )
+
+
+def lineage_table(verdicts: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Per-partition lineage/metrics sidecar (reference: slice-info CSV +
+    meta index, parse_pile.py:1185-1188,1230-1241,1319-1338; rebuild schema
+    per FIXTURES.md section 2).
+
+    Two-level aggregation: (partition, label) counts first — a partial-agg
+    friendly shuffle on a low-cardinality composite key — then one row per
+    partition with a rule-hit-count map. No collect(), no skew (label
+    cardinality is <= 10).
+    """
+    part = F.pmod(F.xxhash64("url"), F.lit(num_partitions)).alias("partition_id")
+    by_label = (
+        verdicts.groupBy(part, F.coalesce("excl_type", F.lit("keep")).alias("label"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+    return (
+        by_label.groupBy("partition_id")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum(F.when(F.col("label") == "keep", F.col("n")).otherwise(0)).alias(
+                "n_keep"
+            ),
+            F.sum(F.when(F.col("label") != "keep", F.col("n")).otherwise(0)).alias(
+                "n_drop"
+            ),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("label", "n")))
+            ).alias("rule_hit_counts"),
+            F.min("min_doc").alias("first_doc_id"),
+            F.max("max_doc").alias("last_doc_id"),
+        )
+        .withColumn("finished_at", F.current_timestamp())
+    )
+
+
+def sentence_table(verdicts: DataFrame) -> DataFrame:
+    """Kept docs -> one row per sentence (doc_id, sent_num, sent_text),
+    the relational form of the reference's CoNLL-U `# sent_id`/`# text`
+    comments (parse_pile.py:1496-1515; FIXTURES.md section 2)."""
+    kept = verdicts.filter("keep").select("doc_id", "clean_text")
+    return (
+        kept.withColumn("sents", segment_udf("clean_text"))
+        .select("doc_id", F.posexplode("sents").alias("pos", "sent_text"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("sent_num"),
+            "sent_text",
+        )
+    )
+
+
+def conllu_skeleton(sentences: DataFrame) -> DataFrame:
+    """Render the CoNLL-U comment skeleton per sentence: `# newdoc id` on the
+    first sentence of a doc, `# sent_id = <doc>_<n zfilled>` and `# text =`
+    (format: parse_pile.py:1496-1515). Token lines are downstream (the
+    reference used Stanza's dependency parser, out of scope per north_star:
+    segmentation feeds the downstream UD annotator)."""
+    w = Window.partitionBy("doc_id")
+    with_max = sentences.withColumn("_max_sent", F.max("sent_num").over(w))
+    sid = F.concat(
+        F.col("doc_id"),
+        F.lit("_"),
+        F.expr("lpad(cast(sent_num as string), length(cast(_max_sent as string)), '0')"),
+    )
+    header = F.when(
+        F.col("sent_num") == 1,
+        F.concat(F.lit("# newdoc id = "), F.col("doc_id"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    return with_max.select(
+        "doc_id",
+        "sent_num",
+        F.concat(
+            header,
+            F.lit("# sent_id = "), sid, F.lit("\n"),
+            F.lit("# text = "), F.col("sent_text"),
+        ).alias("conllu"),
+    )

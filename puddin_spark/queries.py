@@ -1,0 +1,868 @@
+"""Driver-gate query catalog: every operator exposed as a (spark, sf_dir) ->
+DataFrame callable plus a DuckDB-oracle SQL twin.
+
+Design rules (driver contract, __spark_entry__.py):
+- Spark result and oracle result must match on row count, schema, and
+  order-insensitive value hash. Every computed column is aliased identically
+  on both sides; floats are rounded INSIDE both queries; sums over BIGINT are
+  cast (DuckDB widens to HUGEINT otherwise).
+- All randomness is md5-based so both engines derive identical hashes.
+- Python-re-only patterns (backreferences, the reference's quirks) run in
+  pandas UDFs on the Spark side; oracle SQL uses RE2-safe equivalents that
+  are exact on this corpus (documents.text is single-spaced lowercase ASCII
+  words — verified; the suffix-injection CASE below is the only source of
+  markup/punctuation, so equivalence is total, and tests/test_queries.py
+  replays the driver comparison to prove it).
+
+The suffix-injection view: documents.text alone trips no filter rule, so
+queries that exercise the keep/drop battery append a deterministic
+rule-tripping suffix keyed on doc_id % 10 (FIXTURES.md strata, SQL-side so
+the oracle sees the identical corpus).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from puddin_spark.operators import dedup, similarity, textstats
+from puddin_spark.operators.multimodal import extract_media_meta
+from puddin_spark.pipeline import quality_pipeline
+from puddin_spark.udfs import classify_udf, scrub_stage1_udf, segment_udf
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- shared SQL fragments (valid in BOTH Spark SQL and DuckDB) ---
+
+AUG_SUFFIX_CASE = """
+case cast(doc_id % 10 as int)
+  when 0 then ' <nowiki> markup tail'
+  when 1 then ' <div class="x">inline markup</div>'
+  when 2 then ' cfg {"a":{"b": 1}} end'
+  when 3 then ' flag == true here'
+  when 4 then ' config_value broken'
+  when 5 then ' try mp4converter now'
+  when 6 then ' assault...related items'
+  when 7 then ' [[page|label}} wikitable'
+  else ''
+end
+""".strip()
+
+# expected label per suffix branch (first-match cascade). Branch 8/9 -> keep.
+_BRANCH_LABELS = ["wiki", "html", "json", "code", "_wrd", "a0wrd", "punc", "wiki"]
+
+# DuckDB-side classify cascade on column `t` (RE2; see module docstring for
+# the html-surrogate note: RE2 has no backreferences, but on this corpus the
+# only open/close tag pair is the injected one, so the surrogate is exact).
+ORACLE_CLASSIFY_CASE = r"""
+case
+  when regexp_matches(t, '<__?UNK__>') then '?unk'
+  when regexp_matches(t, '<nowiki>')
+    or regexp_matches(t, '[{[]{2,}[^|}\]]+\|[^}\]]*\}{2,}') then 'wiki'
+  when regexp_matches(t, '<\w+[^<]*>[^<]*</\w+>') then 'html'
+  when regexp_matches(t, '{"\w+":{"\w+":') then 'json'
+  when regexp_matches(t, '(?i)(=|[=!><][=!><])\s?(self|true|false|\w+\.?\w*)') then 'code'
+  when regexp_matches(t, '\w*?_\w+?') then '_wrd'
+  when regexp_matches(t, '(?i)\d*[a-z]+\d+[a-z]*\d*[a-z]*|\d{3:}[a-z]+[a-z]*\d*[a-z]*') then 'a0wrd'
+  when regexp_matches(t, '\b[a-z]+[^\w\s\-''/\\&@]+?[a-zA-Z]+\b') then 'punc'
+  else null
+end
+""".strip()
+
+# DuckDB scrub C2-C4 chain on column `t` (Python-re quirks '{2:3}' are RE2
+# literals too — verified). Global flag 'g' matches re.sub semantics.
+ORACLE_SCRUB1 = (
+    r"regexp_replace(regexp_replace(regexp_replace(t,"
+    r" '\[url=[^\]]*]([^[]*)\[/url\]', '\1', 'g'),"
+    r" 'https?://\S*\s|www\.\S*\s|[\w\d]+\.[\w\d]+\.[\w\d]+\S*\s|http://www\.\w+\.\w{2:3}', ' ', 'g'),"
+    r" '([a-z]+)([A-Z])|([a-z][.!?,;:]+)([A-Z])', '\1\3 \2\4', 'g')"
+)
+
+_SW_LIST = "[" + ",".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(f"concat(text, {AUG_SUFFIX_CASE})")
+    )
+
+
+def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup mutants (id+1000000, ' extra tail words here')."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    m = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail words here")).alias("text"),
+        "source",
+    )
+    return d.unionByName(m)
+
+
+ORACLE_NEARDUP = """
+select doc_id, text, source from documents
+union all
+select doc_id + 1000000 as doc_id, text || ' extra tail words here' as text, source
+from documents
+"""
+
+# -------------------- queries --------------------
+
+
+def q_langid_gate(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+O_LANGID_GATE = """
+select source, count(*) as n_docs, round(avg(n_chars), 4) as avg_chars
+from documents where lang = 'en' group by source
+"""
+
+
+def q_classify_battery(spark, sf_dir):
+    return _aug_docs(spark, sf_dir).select(
+        "doc_id",
+        classify_udf(F.col("t")).alias("excl_type"),
+        classify_udf(F.col("t")).isNull().alias("keep"),
+    )
+
+
+O_CLASSIFY_BATTERY = f"""
+with aug as (select doc_id, text || {AUG_SUFFIX_CASE} as t from documents)
+select doc_id, {ORACLE_CLASSIFY_CASE} as excl_type,
+       ({ORACLE_CLASSIFY_CASE}) is null as keep
+from aug
+"""
+
+
+def q_rule_hit_counts(spark, sf_dir):
+    return (
+        _aug_docs(spark, sf_dir)
+        .select(F.coalesce(classify_udf(F.col("t")), F.lit("keep")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_RULE_HIT_COUNTS = f"""
+with aug as (select doc_id, text || {AUG_SUFFIX_CASE} as t from documents),
+lab as (select coalesce({ORACLE_CLASSIFY_CASE}, 'keep') as label from aug)
+select label, count(*) as n from lab group by label
+"""
+
+
+def q_scrub_urls(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "t",
+        F.expr(
+            "concat('[url=http://ex.org/', cast(doc_id as string), ']anchor one[/url] ',"
+            " text, ' see https://news.example.com/page now.')"
+        ),
+    )
+    return d.select("doc_id", F.md5(scrub_stage1_udf(F.col("t"))).alias("mid_md5"))
+
+
+O_SCRUB_URLS = f"""
+with aug as (
+  select doc_id,
+         '[url=http://ex.org/' || cast(doc_id as varchar) || ']anchor one[/url] '
+         || text || ' see https://news.example.com/page now.' as t
+  from documents)
+select doc_id, md5({ORACLE_SCRUB1}) as mid_md5 from aug
+"""
+
+
+def q_pipeline_verdicts(spark, sf_dir):
+    """Flagship: the full quality pipeline over a web-pages view derived from
+    documents (url/warc_ts/html/text/lang per input_hint)."""
+    pages = _aug_docs(spark, sf_dir).select(
+        F.expr("concat('https://docs.example.org/', lpad(cast(doc_id as string), 8, '0'))").alias("url"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, cast(doc_id as int))").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("t").alias("text"),
+        "lang",
+    )
+    v = quality_pipeline(pages, num_partitions=8)
+    return v.select(
+        "url",
+        "keep",
+        "excl_type",
+        F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+    )
+
+
+O_PIPELINE_VERDICTS = f"""
+with aug as (
+  select doc_id, lang,
+         'https://docs.example.org/' || lpad(cast(doc_id as varchar), 8, '0') as url,
+         text || {AUG_SUFFIX_CASE} as t
+  from documents
+  where lang = 'en'),
+scrubbed as (
+  select url, {ORACLE_SCRUB1} as mid from aug),
+labeled as (
+  select url, mid, {ORACLE_CLASSIFY_CASE.replace("(t,", "(mid,")} as excl_type
+  from scrubbed)
+select url, excl_type is null as keep, excl_type,
+       md5(case when excl_type is null then mid else '' end) as clean_md5
+from labeled
+"""
+
+
+def q_dedup_exact_first(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return dedup.exact_dedup(d.unionByName(dup), "text", ("doc_id",)).select("doc_id")
+
+
+O_DEDUP_EXACT_FIRST = """
+with u as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 2000000 as doc_id, text from documents where doc_id % 5 = 0),
+r as (select doc_id, row_number() over (partition by sha256(text) order by doc_id) as rn from u)
+select doc_id from r where rn = 1
+"""
+
+
+def q_anti_join_resume(spark, sf_dir):
+    """Resume semantics: input ∖ committed (J1/F12)."""
+    d = read_table(spark, sf_dir, "documents")
+    committed = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return d.join(committed, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+O_ANTI_JOIN_RESUME = """
+select doc_id, lang from documents
+where doc_id not in (select doc_id from documents where doc_id % 7 = 0)
+"""
+
+
+def q_slice_assignment(spark, sf_dir):
+    """Fixed-size slicing + hierarchical ids (O1/O2/O3/P5; 50-doc slices)."""
+    d = read_table(spark, sf_dir, "documents").filter("lang = 'en'")
+    w = Window.orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.floor((F.col("rn") - 1) / 50).alias("slice_num"),
+            F.expr(
+                "concat('doc_', lpad(cast(floor((rn - 1) / 50) + 1 as string), 3, '0'),"
+                " '.', lpad(cast(rn - floor((rn - 1) / 50) * 50 as string), 2, '0'))"
+            ).alias("text_id"),
+        )
+    )
+
+
+# NB: cast(double as bigint) ROUNDS in DuckDB but truncates in Spark — use
+# floor() on both sides for the integer division
+O_SLICE_ASSIGNMENT = """
+with r as (select doc_id, row_number() over (order by doc_id) as rn
+           from documents where lang = 'en')
+select doc_id, cast(floor((rn - 1) / 50) as bigint) as slice_num,
+       'doc_' || lpad(cast(cast(floor((rn - 1) / 50) as bigint) + 1 as varchar), 3, '0')
+       || '.' || lpad(cast(rn - cast(floor((rn - 1) / 50) as bigint) * 50 as varchar), 2, '0') as text_id
+from r
+"""
+
+
+def q_validation_status(spark, sf_dir):
+    """The completeness checker as joins (J2/J3 + derive success/missing,
+    validate_data_group.py:243-419)."""
+    aug = _aug_docs(spark, sf_dir).filter("lang = 'en'")
+    labeled = aug.select("doc_id", classify_udf(F.col("t")).alias("excl_type"))
+    raw = aug.select("doc_id")
+    parsed = labeled.filter("excl_type is null").select(
+        "doc_id", F.lit(1).alias("parsed")
+    )
+    excl = labeled.filter("excl_type is not null")
+    return (
+        raw.join(parsed, "doc_id", "left_outer")
+        .join(excl, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            (F.col("parsed") == 1).alias("success"),
+            "excl_type",
+            (F.col("parsed").isNull() & F.col("excl_type").isNull()).alias("missing"),
+        )
+    )
+
+
+O_VALIDATION_STATUS = f"""
+with aug as (select doc_id, text || {AUG_SUFFIX_CASE} as t from documents where lang = 'en'),
+lab as (select doc_id, {ORACLE_CLASSIFY_CASE} as excl_type from aug)
+select doc_id, case when excl_type is null then true else null end as success,
+       excl_type, false as missing
+from lab
+"""
+
+
+def q_stats_rollup(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+O_STATS_ROLLUP = """
+select coalesce(lang, 'ALL') as lang, coalesce(source, 'ALL') as source,
+       count(*) as n_docs, cast(sum(n_chars) as bigint) as total_chars
+from documents group by rollup(lang, source)
+"""
+
+
+def q_doc_stats_describe(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        )
+    )
+
+
+O_DOC_STATS_DESCRIBE = """
+select lang, count(*) as n, round(avg(n_chars), 4) as mean_chars,
+       min(n_chars) as min_chars, max(n_chars) as max_chars,
+       round(stddev_samp(n_chars), 4) as sd_chars,
+       round(quantile_cont(n_chars, 0.5), 4) as median_chars
+from documents group by lang
+"""
+
+
+def q_dup_detection_window(spark, sf_dir):
+    """A6: rows whose text occurs more than once (on the exact-dup view)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    u = d.unionByName(dup)
+    w = Window.partitionBy("text")
+    return (
+        u.withColumn("n_copies", F.count("*").over(w))
+        .filter("n_copies > 1")
+        .select("doc_id", "n_copies")
+    )
+
+
+O_DUP_DETECTION_WINDOW = """
+with u as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 2000000 as doc_id, text from documents where doc_id % 5 = 0),
+c as (select doc_id, count(*) over (partition by text) as n_copies from u)
+select doc_id, n_copies from c where n_copies > 1
+"""
+
+
+def q_union_accumulate(spark, sf_dir):
+    """A7: unionByName with missing columns."""
+    d = read_table(spark, sf_dir, "documents")
+    a = d.filter("doc_id % 2 = 0").select("doc_id", "lang", "n_chars")
+    b = d.filter("doc_id % 2 = 1").select("doc_id", "lang")
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).cast("bigint").alias("chars_even"),
+        )
+    )
+
+
+O_UNION_ACCUMULATE = """
+with u as (
+  select doc_id, lang, n_chars from documents where doc_id % 2 = 0
+  union all
+  select doc_id, lang, null as n_chars from documents where doc_id % 2 = 1)
+select lang, count(*) as n, cast(sum(coalesce(n_chars, 0)) as bigint) as chars_even
+from u group by lang
+"""
+
+
+def q_top_event_per_user(spark, sf_dir):
+    """O4: latest event per user (top-1 by timestamp)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+O_TOP_EVENT_PER_USER = """
+with r as (select *, row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+           from events)
+select user_id, event_id, event_type, round(value, 6) as value from r where rn = 1
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+O_EVENTS_HOURLY = """
+select date_trunc('hour', ts) as hour, event_type, count(*) as n,
+       round(sum(value), 4) as total_value
+from events group by 1, 2
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+O_TPCH_Q1 = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(avg(l_quantity), 4) as avg_qty,
+       round(avg(l_discount), 4) as avg_disc,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    c = read_table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+O_TPCH_Q3 = """
+select l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1998-03-15 00:00:00'
+  and l_shipdate > timestamp '1998-03-15 00:00:00'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, l_orderkey
+limit 10
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _neardup_docs(spark, sf_dir), "doc_id", "text",
+        num_hashes=16, band_size=2, shingle_k=5, jaccard_threshold=0.5,
+    )
+
+
+def _oracle_minhash() -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_pairs — identical md5
+    scheme, so candidates (not just verified pairs) agree exactly."""
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(s || ':{j}')))" for j in range(16)
+    )
+    return f"""
+with u as ({ORACLE_NEARDUP}),
+sh as (
+  select doc_id as id,
+         list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+                                      i -> substr(text, i, 5))) as sh
+  from u),
+sig as (select id, sh, [{mh}] as mh from sh),
+bands as (
+  select id, sh, bix as band_ix,
+         md5(mh[2*bix+1] || '|' || mh[2*bix+2]) as band_key
+  from sig, (select unnest(range(0, 8)) as bix) b
+),
+cand as (
+  select distinct a.id as id_a, b.id as id_b, a.sh as sh_a, b.sh as sh_b
+  from bands a join bands b using (band_ix, band_key)
+  where a.id < b.id),
+jac as (
+  select id_a, id_b,
+         round(cast(len(list_intersect(sh_a, sh_b)) as double)
+               / len(list_distinct(list_concat(sh_a, sh_b))), 6) as jaccard
+  from cand)
+select id_a, id_b, jaccard from jac where jaccard >= 0.5
+"""
+
+
+def q_simhash_values(spark, sf_dir):
+    return dedup.simhash_table(
+        read_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _oracle_simhash_expr(tok_list: str) -> str:
+    """64-bit simhash as portable SQL: per bit b, sign of the sum over
+    distinct tokens of (bit b of the first-8-bytes-of-md5 int)."""
+    terms = []
+    for b in range(64):
+        pos = 16 - b // 4  # 1-based hex char position (char 1 = bits 63..60)
+        k = b % 4
+        contrib = (
+            f"case when ((strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1)"
+            f" >> {k}) & 1 = 1 then 1 else -1 end"
+        )
+        bit = f"(list_sum(list_transform({tok_list}, tok -> {contrib})) > 0)"
+        if b == 63:
+            terms.append(f"case when {bit} then -9223372036854775807 - 1 else 0 end")
+        else:
+            terms.append(f"case when {bit} then cast({1 << b} as bigint) else 0 end")
+    return " + ".join(terms)
+
+
+def _oracle_simhash_values() -> str:
+    expr = _oracle_simhash_expr("toks")
+    return f"""
+with t as (select doc_id as id,
+                  list_distinct(string_split_regex(trim(text), '\\s+')) as toks
+           from documents)
+select id, cast({expr} as bigint) as simhash from t
+"""
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        _neardup_docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    expr = _oracle_simhash_expr("toks")
+    return f"""
+with u as ({ORACLE_NEARDUP}),
+t as (select doc_id as id,
+             list_distinct(string_split_regex(trim(text), '\\s+')) as toks
+      from u),
+s as (select id, cast({expr} as bigint) as simhash from t)
+select a.id as id_a, b.id as id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+from s a join s b on a.id < b.id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _neardup_docs(spark, sf_dir), "doc_id", "text",
+        block_col="source", n=3, threshold=0.5,
+    )
+
+
+O_NGRAM_JACCARD = f"""
+with u as ({ORACLE_NEARDUP}),
+g as (select doc_id as id, source as blk,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' '))) as ng
+      from u)
+select a.id as id_a, b.id as id_b,
+       round(cast(len(list_intersect(a.ng, b.ng)) as double)
+             / len(list_distinct(list_concat(a.ng, b.ng))), 6) as jaccard
+from g a join g b using (blk)
+where a.id < b.id
+  and cast(len(list_intersect(a.ng, b.ng)) as double)
+      / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.5
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    return similarity.brute_force_topk(emb, queries, k=3)
+
+
+O_ANN_COSINE_TOPK = """
+with q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 5),
+c as (select vec_id as neighbor_id, embedding as cv from embeddings),
+dots as (
+  select query_id, neighbor_id,
+         round(
+           list_sum(list_transform(range(1, len(qv)+1),
+             i -> cast(qv[i] as double) * cast(cv[i] as double)))
+           / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                i -> cast(qv[i] as double) * cast(qv[i] as double))))
+              * sqrt(list_sum(list_transform(range(1, len(cv)+1),
+                i -> cast(cv[i] as double) * cast(cv[i] as double))))), 6) as cos_sim
+  from c cross join q
+  where neighbor_id <> query_id),
+r as (select *, row_number() over (partition by query_id
+                                   order by cos_sim desc, neighbor_id asc) as rank
+      from dots)
+select query_id, neighbor_id, cast(rank as int) as rank, cos_sim
+from r where rank <= 3
+"""
+
+
+def q_srp_buckets(spark, sf_dir):
+    return similarity.srp_buckets(read_table(spark, sf_dir, "embeddings"))
+
+
+def _oracle_srp_buckets() -> str:
+    bits = []
+    for p in range(8):
+        w = (
+            f"(cast((cast(1103515245 as bigint) * (cast(i - 1 as bigint) + 7919 * {p})"
+            f" + 12345) % 1000 as double) / 999.0 - 0.5)"
+        )
+        dot = (
+            f"list_sum(list_transform(range(1, len(embedding)+1),"
+            f" i -> cast(embedding[i] as double) * {w}))"
+        )
+        bits.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
+    return (
+        f"select vec_id as id, cast({' + '.join(bits)} as int) as bucket from embeddings"
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return textstats.quality_columns(d, "text").select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
+        "mean_word_len", "quality_score",
+    )
+
+
+O_QUALITY_SCORES = f"""
+with t as (select doc_id, string_split_regex(trim(lower(text)), '\\s+') as toks, text
+           from documents),
+m as (select doc_id,
+        cast(len(toks) as int) as n_tokens,
+        round(cast(len(list_filter(toks, w -> list_contains({_SW_LIST}, w))) as double)
+              / greatest(len(toks), 1), 6) as stopword_ratio,
+        round(cast(len(regexp_extract_all(text, '[^0-9A-Za-z\\s]')) as double)
+              / greatest(length(text), 1), 6) as punct_ratio,
+        round(cast(list_sum(list_transform(toks, w -> length(w))) as double)
+              / greatest(len(toks), 1), 6) as mean_word_len
+      from t)
+select doc_id, n_tokens, stopword_ratio, punct_ratio, mean_word_len,
+       round(least(stopword_ratio * 2, 1.0) * 0.5
+             + (1 - least(punct_ratio * 4, 1.0)) * 0.3
+             + case when mean_word_len >= 3 and mean_word_len <= 10
+                    then 0.2 else 0.0 end, 6) as quality_score
+from m
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count_col("text").alias("n_tokens"),
+        textstats.word_token_count_col("text").alias("n_word_pieces"),
+    )
+
+
+O_TOKEN_COUNTS = """
+select doc_id,
+       cast(len(string_split_regex(trim(lower(text)), '\\s+')) as int) as n_tokens,
+       cast(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) as int) as n_word_pieces
+from documents
+"""
+
+
+def q_fingerprints(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.fingerprint_col("text").alias("fingerprint")
+    )
+
+
+O_FINGERPRINTS = """
+select doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fingerprint
+from documents
+"""
+
+
+def q_langid_heuristic(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(textstats.langid_en_score_col("text"), 6).alias("en_score"),
+        (textstats.langid_en_score_col("text") > 0.05).alias("pred_en"),
+    )
+
+
+O_LANGID_HEURISTIC = f"""
+with t as (select doc_id, string_split_regex(trim(lower(text)), '\\s+') as toks
+           from documents)
+select doc_id,
+       round(cast(len(list_filter(toks, w -> list_contains({_SW_LIST}, w))) as double)
+             / greatest(len(toks), 1), 6) as en_score,
+       (cast(len(list_filter(toks, w -> list_contains({_SW_LIST}, w))) as double)
+        / greatest(len(toks), 1)) > 0.05 as pred_en
+from t
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return extract_media_meta(d, "doc_id", "media")
+
+
+O_MULTIMODAL_META = """
+select doc_id,
+       cast(octet_length(encode(text)) as bigint) as n_bytes,
+       sha256(text) as sha256,
+       cast(octet_length(encode(text)) % 640 as int) as fake_width,
+       cast(octet_length(encode(text)) % 480 as int) as fake_height
+from documents
+"""
+
+
+def q_sentence_segment(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("sents", segment_udf("text"))
+        .select("doc_id", F.posexplode("sents").alias("pos", "sent_text"))
+        .select("doc_id", (F.col("pos") + 1).cast("int").alias("sent_num"), "sent_text")
+    )
+
+
+# documents.text is single-line, single-spaced, no terminal punctuation
+# (verified) -> segmentation yields exactly one sentence = trim(text)
+O_SENTENCE_SEGMENT = """
+select doc_id, 1 as sent_num, trim(text) as sent_text from documents
+"""
+
+
+SPARK_QUERIES = {
+    "langid_gate": q_langid_gate,
+    "classify_battery": q_classify_battery,
+    "rule_hit_counts": q_rule_hit_counts,
+    "scrub_urls": q_scrub_urls,
+    "pipeline_verdicts": q_pipeline_verdicts,
+    "dedup_exact_first": q_dedup_exact_first,
+    "anti_join_resume": q_anti_join_resume,
+    "slice_assignment": q_slice_assignment,
+    "validation_status": q_validation_status,
+    "stats_rollup": q_stats_rollup,
+    "doc_stats_describe": q_doc_stats_describe,
+    "dup_detection_window": q_dup_detection_window,
+    "union_accumulate": q_union_accumulate,
+    "top_event_per_user": q_top_event_per_user,
+    "events_hourly": q_events_hourly,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_values": q_simhash_values,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "srp_buckets": q_srp_buckets,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "langid_heuristic": q_langid_heuristic,
+    "multimodal_meta": q_multimodal_meta,
+    "sentence_segment": q_sentence_segment,
+}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {
+        "langid_gate": O_LANGID_GATE,
+        "classify_battery": O_CLASSIFY_BATTERY,
+        "rule_hit_counts": O_RULE_HIT_COUNTS,
+        "scrub_urls": O_SCRUB_URLS,
+        "pipeline_verdicts": O_PIPELINE_VERDICTS,
+        "dedup_exact_first": O_DEDUP_EXACT_FIRST,
+        "anti_join_resume": O_ANTI_JOIN_RESUME,
+        "slice_assignment": O_SLICE_ASSIGNMENT,
+        "validation_status": O_VALIDATION_STATUS,
+        "stats_rollup": O_STATS_ROLLUP,
+        "doc_stats_describe": O_DOC_STATS_DESCRIBE,
+        "dup_detection_window": O_DUP_DETECTION_WINDOW,
+        "union_accumulate": O_UNION_ACCUMULATE,
+        "top_event_per_user": O_TOP_EVENT_PER_USER,
+        "events_hourly": O_EVENTS_HOURLY,
+        "tpch_q1": O_TPCH_Q1,
+        "tpch_q3": O_TPCH_Q3,
+        "minhash_lsh_pairs": _oracle_minhash(),
+        "simhash_values": _oracle_simhash_values(),
+        "simhash_near_pairs": _oracle_simhash_pairs(),
+        "ngram_jaccard_pairs": O_NGRAM_JACCARD,
+        "ann_cosine_topk": O_ANN_COSINE_TOPK,
+        "srp_buckets": _oracle_srp_buckets(),
+        "quality_scores": O_QUALITY_SCORES,
+        "token_counts": O_TOKEN_COUNTS,
+        "fingerprints": O_FINGERPRINTS,
+        "langid_heuristic": O_LANGID_HEURISTIC,
+        "multimodal_meta": O_MULTIMODAL_META,
+        "sentence_segment": O_SENTENCE_SEGMENT,
+    }

@@ -1,0 +1,151 @@
+"""End-to-end Spark tests: synthetic web-page table -> pipeline -> invariants.
+
+Mirrors the reference's correctness machinery (SURVEY.md section 5): golden
+keep/drop counts + byte-identity on the embedded fixture docs, completeness
+invariant (every url exactly once across keep/drop), dedup determinism, and
+lineage counts.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from puddin_spark import rules
+from puddin_spark.pipeline import (
+    dedup_first,
+    lineage_table,
+    quality_pipeline,
+    sentence_table,
+    conllu_skeleton,
+)
+from puddin_spark.synth import gen_rows, synth_pages, synth_pages_local
+
+GOLDEN = {
+    f"https://fixtures.example.org/{r['sample']}/{r['text_id']}": r
+    for r in json.loads(
+        (Path(__file__).parent / "fixtures" / "golden.json").read_text()
+    )
+}
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    pages = synth_pages_local(spark, N)
+    out = quality_pipeline(pages, num_partitions=8)
+    out.cache()
+    out.count()
+    return out
+
+
+def test_fixture_label_parity_e2e(verdicts):
+    rows = verdicts.filter(F.col("url").startswith("https://fixtures")).collect()
+    # fixture texts duplicated across sample-1/sample-2 dedup to the first
+    # occurrence (synth warc_ts increases with row index)
+    seen, survivors = set(), 0
+    for g in GOLDEN.values():
+        if g["raw"] not in seen:
+            seen.add(g["raw"])
+            survivors += 1
+    assert len(rows) == survivors
+    for r in rows:
+        g = GOLDEN[r.url]
+        want = None if g["label"] == "keep" else g["label"]
+        assert r.excl_type == want, f"{r.url}: got {r.excl_type}, want {want}"
+        if want is None:
+            assert r.clean_text == g["clean"], f"{r.url}: clean_text bytes differ"
+            assert r.keep
+        else:
+            assert r.clean_text is None and not r.keep
+
+
+def test_completeness_invariant(spark, verdicts):
+    """Every selected (en, deduped-first) url appears exactly once across
+    keep ∪ drop (confirm_doc_ids.py:3-27 invariant)."""
+    pages = synth_pages_local(spark, N)
+    expected = dedup_first(pages.filter("lang = 'en'")).select("url")
+    got = verdicts.select("url")
+    assert got.count() == got.distinct().count()
+    assert expected.exceptAll(got).count() == 0
+    assert got.exceptAll(expected).count() == 0
+    # no doc is both kept and dropped
+    assert (
+        verdicts.filter("keep and excl_type is not null").count() == 0
+    )
+    assert verdicts.filter("not keep and clean_text is not null").count() == 0
+
+
+def test_dedup_determinism(spark):
+    """keep-first = min (warc_ts, url) per text — stable across runs and
+    partitioning (FIXTURES.md invariant 5)."""
+    pages = synth_pages_local(spark, N)
+    a = dedup_first(pages).select("url", "text")
+    b = dedup_first(pages.repartition(13)).select("url", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # duplicates exist in the synth table and only one survives
+    dups = pages.groupBy("text").count().filter("count > 1")
+    assert dups.count() > 0
+
+
+def test_langid_gate(spark, verdicts):
+    pages = synth_pages_local(spark, N)
+    assert pages.filter("lang != 'en'").count() > 0
+    assert verdicts.filter("lang != 'en'").count() == 0
+
+
+def test_lineage_counts(verdicts):
+    lin = lineage_table(verdicts, num_partitions=8).collect()
+    assert sum(r.n_docs for r in lin) == verdicts.count()
+    assert sum(r.n_keep for r in lin) == verdicts.filter("keep").count()
+    hit_total = sum(sum(r.rule_hit_counts.values()) for r in lin)
+    assert hit_total == verdicts.count()
+    for r in lin:
+        assert r.n_keep == r.rule_hit_counts.get("keep", 0)
+
+
+def test_distributed_synth_matches_local(spark):
+    """mapInPandas generation must equal driver-side generation row-for-row
+    (pure function of index)."""
+    a = synth_pages(spark, 150, parts=7).select("url", "text", "lang")
+    b = synth_pages_local(spark, 150).select("url", "text", "lang")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sentences_and_conllu(spark, verdicts):
+    sents = sentence_table(verdicts)
+    sents.cache()
+    assert sents.filter("sent_text like '%\n%'").count() == 0  # remove_breaks applied
+    assert sents.filter("sent_num = 1").count() == verdicts.filter(
+        "keep and length(trim(clean_text)) > 0"
+    ).count()
+    sk = conllu_skeleton(sents)
+    first = sk.filter("sent_num = 1").limit(1).collect()[0]
+    assert first.conllu.startswith(f"# newdoc id = {first.doc_id}\n# sent_id = ")
+    # zfill width: sent ids within a doc all share the same id width
+    widths = (
+        sk.withColumn("sid", F.regexp_extract("conllu", r"# sent_id = \S+_(\d+)", 1))
+        .groupBy("doc_id")
+        .agg(F.countDistinct(F.length("sid")).alias("w"))
+        .filter("w > 1")
+    )
+    assert widths.count() == 0
+
+
+def test_segmentation_matches_pure_function(spark, verdicts):
+    row = (
+        verdicts.filter("keep and length(clean_text) > 200")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    got = [
+        r.sent_text
+        for r in sentence_table(verdicts.filter(F.col("doc_id") == row.doc_id))
+        .orderBy("sent_num")
+        .collect()
+    ]
+    assert got == rules.segment_sentences(row.clean_text)

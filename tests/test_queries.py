@@ -1,0 +1,83 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB at sf=0.01, compare row count,
+schema shape, and order-insensitive values.
+
+Comparison is stricter than a hash: values are normalized (floats rounded to
+9 dp to absorb representation noise ONLY — queries already round semantically
+inside) and compared as sorted multisets, so any driver-side hash scheme that
+sorts columns by name and rows by value will agree.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    from puddin_spark.queries import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    ix = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(repr(_norm(r[i])) for i in ix) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    sql = entrymod.oracle_sql()[name]
+    res = duck.execute(sql)
+    ocols = [c.lower() for c in [d[0] for d in res.description]]
+    orows = res.fetchall()
+
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    sm = _rows_to_multiset(scols, srows)
+    om = _rows_to_multiset(ocols, orows)
+    mism = [i for i, (a, b) in enumerate(zip(sm, om)) if a != b][:3]
+    assert sm == om, (
+        f"{name}: values differ, first mismatches at sorted idx {mism}: "
+        + "; ".join(f"spark={sm[i]} oracle={om[i]}" for i in mism)
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) > 0
