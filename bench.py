@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + pipeline throughput + scaling.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+$SPARK_GRAFT_CPUS (default 32). Prints ONE JSON line:
+
+  {"metric": ..., "value": <total suite sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pipeline": {docs, docs_per_sec@local8, docs_per_sec@localN,
+                scaling_efficiency}}
+
+The scaling block is the sandbox proxy for the north rule's N-vs-4N-executor
+criterion: the same quality-filter job over the same synthetic web-page
+parquet at local[8] and local[CPUS], reporting throughput at both and the
+efficiency ( (thr_N / thr_8) / (N / 8) ).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+# synthetic web pages for the pipeline scaling runs: enough per-core work
+# that steady-state throughput dominates fixed costs even at 32 threads
+N_DOCS = max(96_000, int(960_000 * SF))
+
+BENCH_QUERIES = [
+    "pipeline_verdicts",
+    "classify_battery",
+    "scrub_urls",
+    "dedup_exact_first",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "srp_buckets",
+    "quality_scores",
+    "stats_rollup",
+    "tpch_q1",
+    "tpch_q3",
+    "events_hourly",
+    "sentence_segment",
+]
+
+
+def run_pipeline_at(cores: int, pages_path: str, repeats: int = 2) -> tuple[int, float]:
+    """Read pages parquet -> full pipeline -> sink, at local[cores].
+    Returns (n_docs_in, best_wall_sec of `repeats`). Fresh SparkSession per
+    level; partitions = 4x cores (multiple task waves so stragglers don't
+    bound the wall); an untimed warmup job spawns the Python UDF workers
+    first — we measure steady-state throughput (the north rule's scaling
+    criterion), not JVM/worker cold start."""
+    from puddin_spark.pipeline import quality_pipeline
+    from puddin_spark.session import get_spark
+
+    parts = cores * 4
+    spark = get_spark(
+        master=f"local[{cores}]", app_name=f"bench_c{cores}", shuffle_partitions=parts
+    )
+    try:
+        pages = spark.read.parquet(pages_path)
+        n = pages.count()
+        warm = quality_pipeline(pages.limit(parts * 8), num_partitions=parts)
+        warm.write.mode("overwrite").format("noop").save()
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            v = quality_pipeline(pages, num_partitions=parts)
+            v.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return n, best
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from puddin_spark.queries import SPARK_QUERIES
+    from puddin_spark.session import get_spark
+    from puddin_spark.synth import synth_pages
+
+    results: dict[str, float] = {}
+    total_t0 = time.perf_counter()
+
+    # --- materialize the synthetic web-page table once (not timed) ---
+    pages_path = tempfile.mkdtemp(prefix="bench_pages_")
+    spark = get_spark(master=f"local[{CPUS}]", app_name="bench_main")
+    synth_pages(spark, N_DOCS, parts=CPUS).write.mode("overwrite").parquet(pages_path)
+
+    # --- catalog queries at full parallelism ---
+    for name in BENCH_QUERIES:
+        q = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        q(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        results[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    # --- pipeline throughput at three parallelism levels (same input).
+    # Headline N-vs-4N pair is local[2] -> local[8]; the 8 -> CPUS pair is
+    # also reported (this VM saturates beyond ~16 workers at host level —
+    # see BENCH notes in BASELINE.md) ---
+    levels = [2, 8]
+    if CPUS > 8:
+        levels.append(CPUS)
+    walls: dict[int, float] = {}
+    n_docs = 0
+    for c in levels:
+        n_docs, walls[c] = run_pipeline_at(c, pages_path)
+    shutil.rmtree(pages_path, ignore_errors=True)
+    thr = {c: n_docs / w for c, w in walls.items()}
+    eff_2_8 = (thr[8] / thr[2]) / 4
+    pipeline = {
+        "docs": n_docs,
+        **{f"wall_sec_local{c}": round(walls[c], 3) for c in levels},
+        **{f"docs_per_sec_local{c}": round(thr[c], 1) for c in levels},
+        "scaling_efficiency_N2_to_4N8": round(eff_2_8, 3),
+    }
+    if CPUS > 8:
+        pipeline["scaling_efficiency_8_to_%d" % CPUS] = round(
+            (thr[CPUS] / thr[8]) / (CPUS / 8), 3
+        )
+
+    total = round(time.perf_counter() - total_t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_plus_pipeline_scaling",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": SF,
+                "pipeline": pipeline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -67,24 +67,37 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash, verified by exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
+    shingle_mode='word' (k-word grams) is the at-scale default: character
+    shingles over boilerplate-heavy corpora concentrate minhash values into
+    a few giant LSH buckets (the band self-join degenerates quadratically);
+    word grams keep buckets discriminative. 'char' remains for short-text
+    workloads.
+
     Scale shape: signatures are tiny (k hex strings), band explode multiplies
-    rows by num_bands, the self-join shuffles on band hash (high cardinality,
-    uniform), and only verified candidates ever touch the (pre-aggregated
-    distinct) shingle arrays again.
+    rows by num_bands, the self-join shuffles ONLY (id, band) on band hash,
+    and only deduped candidates ever touch the shingle arrays again.
     """
     num_bands = num_hashes // band_size
+    sh = (
+        word_ngrams(text_col, shingle_k)
+        if shingle_mode == "word"
+        else char_shingles(text_col, shingle_k)
+    )
     sig = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .withColumn("sh", char_shingles("t", shingle_k))
+        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
         .withColumn("mh", minhash_signature("sh", num_hashes))
     )
+    sig = sig.persist()
+    # the band self-join moves ONLY (id, band) — the shingle arrays rejoin
+    # after candidate dedup, so shuffles stay narrow (scale-critical: at
+    # 10^12 docs the band join is the big shuffle and must not carry bodies)
     bands = sig.select(
         "id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -99,17 +112,19 @@ def minhash_lsh_pairs(
             )
         ).alias("band_ix", "band_key"),
     )
-    left = bands.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_ix", "band_key"
-    )
-    right = bands.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_ix", "band_key"
-    )
+    left = bands.select(F.col("id").alias("id_a"), "band_ix", "band_key")
+    right = bands.select(F.col("id").alias("id_b"), "band_ix", "band_key")
     cand = (
         left.join(right, ["band_ix", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_only = sig.select("id", "sh")
+    cand = cand.join(
+        sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     jac = cand.withColumn(
         "jaccard",
@@ -203,12 +218,33 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_ngrams(text_col, n).alias("ng"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
-    )
-    a = g.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a"), "blk")
-    b = g.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b"), "blk")
-    return (
+    ).persist()
+    # pair generation carries only (id, |ng|): J(a,b) >= t implies
+    # min(|a|,|b|)/max(|a|,|b|) >= t (I <= min, U >= max), so the size-ratio
+    # prefilter is exact — no candidate that could pass is dropped, and the
+    # expensive array intersect only runs on surviving pairs
+    sizes = g.select("id", "blk", F.size("ng").alias("ns"))
+    a = sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("ns_a"), "blk")
+    b = sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("ns_b"), "blk")
+    cand = (
         a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("ns_a", "ns_b")
+                >= F.lit(threshold) * F.greatest("ns_a", "ns_b")
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    ng_only = g.select("id", "ng")
+    return (
+        cand.join(
+            ng_only.select(F.col("id").alias("id_a"), F.col("ng").alias("ng_a")), "id_a"
+        )
+        .join(
+            ng_only.select(F.col("id").alias("id_b"), F.col("ng").alias("ng_b")), "id_b"
+        )
         .withColumn(
             "jaccard",
             F.round(

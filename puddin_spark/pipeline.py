@@ -24,9 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from puddin_spark.udfs import process_udf, segment_udf
+from puddin_spark.udfs import pii_scrub_udf, process_udf, segment_udf
 
-OUTPUT_COLS = ["doc_id", "url", "warc_ts", "lang", "clean_text", "keep", "excl_type"]
+OUTPUT_COLS = [
+    "doc_id", "url", "warc_ts", "lang", "text_sha", "clean_text", "keep", "excl_type",
+]
 
 
 def doc_id_col(url: Column | str = "url") -> Column:
@@ -53,6 +55,7 @@ def quality_pipeline(
     selected_lang: str = "en",
     dedup: bool = True,
     num_partitions: int | None = None,
+    pii_scrub: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> per-document verdict table
     (doc_id, url, warc_ts, lang, clean_text, keep, excl_type).
@@ -69,12 +72,20 @@ def quality_pipeline(
     if num_partitions:
         df = df.repartition(num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions)))
     out = df.withColumn("_res", process_udf(F.col("text")))
+    clean = F.col("_res.clean_text")
+    if pii_scrub:
+        # graft-axis PII/toxicity masking AFTER the parity scrub (rules
+        # docstring; off by default so reference byte-identity holds)
+        clean = pii_scrub_udf(clean)
     return out.select(
         doc_id_col().alias("doc_id"),
         "url",
         "warc_ts",
         "lang",
-        F.col("_res.clean_text").alias("clean_text"),
+        # digest of the RAW text: lets incremental runs dedup globally
+        # against already-committed documents without storing bodies
+        F.sha2("text", 256).alias("text_sha"),
+        clean.alias("clean_text"),
         F.col("_res.excl_type").isNull().alias("keep"),
         F.col("_res.excl_type").alias("excl_type"),
     )

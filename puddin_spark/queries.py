@@ -523,7 +523,8 @@ limit 10
 def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _neardup_docs(spark, sf_dir), "doc_id", "text",
-        num_hashes=16, band_size=2, shingle_k=5, jaccard_threshold=0.5,
+        num_hashes=16, band_size=2, shingle_k=3, jaccard_threshold=0.5,
+        shingle_mode="word",
     )
 
 
@@ -537,8 +538,9 @@ def _oracle_minhash() -> str:
 with u as ({ORACLE_NEARDUP}),
 sh as (
   select doc_id as id,
-         list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
-                                      i -> substr(text, i, 5))) as sh
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' '))) as sh
   from u),
 sig as (select id, sh, [{mh}] as mh from sh),
 bands as (
@@ -801,6 +803,63 @@ select doc_id, 1 as sent_num, trim(text) as sent_text from documents
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII/toxicity masking over documents with injected PII spans."""
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(f"concat(text, {PII_SUFFIX_CASE})")
+    )
+    from puddin_spark.udfs import pii_scrub_udf
+
+    return d.select("doc_id", pii_scrub_udf(F.col("t")).alias("scrubbed"))
+
+
+PII_SUFFIX_CASE = """
+case cast(doc_id % 6 as int)
+  when 0 then ' contact me at john.doe+spam@mail-example.com thanks'
+  when 1 then ' ssn is 123-45-6789 ok'
+  when 2 then ' card 4111-1111-1111-1111 exp soon'
+  when 3 then ' call 555-867-5309 now'
+  when 4 then ' host at 192.168.10.250 port'
+  else ' what the hell happened'
+end
+""".strip()
+
+O_PII_SCRUB = f"""
+with aug as (select doc_id, text || {PII_SUFFIX_CASE} as t from documents)
+select doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(t,
+      '[\\w.+-]+@[\\w-]+\\.[\\w.-]+', '[EMAIL]', 'g'),
+      '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+      '\\b\\d{{4}}[ -]\\d{{4}}[ -]\\d{{4}}[ -]\\d{{4}}\\b', '[CC]', 'g'),
+      '\\b(?:\\+?1[ .-]?)?\\(?\\d{{3}}\\)?[ .-]?\\d{{3}}[ .-]?\\d{{4}}\\b', '[PHONE]', 'g'),
+      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g'),
+      '(?i)\\b(damn|hell|crap)\\b', '[TOX]', 'g') as scrubbed
+from aug
+"""
+
+
+def q_model_langid(spark, sf_dir):
+    """Trigram-profile language ID (iterator UDF, per-executor singleton).
+    No SQL oracle — model inference is not SQL-expressible (driver records
+    the rows-only check)."""
+    from puddin_spark.models import langid_udf
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", langid_udf(F.col("text")).alias("m")).select(
+        "doc_id", "lang", F.col("m.pred_lang").alias("pred_lang"),
+        F.col("m.lang_score").alias("lang_score"),
+    )
+
+
+def q_model_perplexity(spark, sf_dir):
+    """KenLM-style char-LM perplexity (iterator UDF, singleton). Rows-only."""
+    from puddin_spark.models import perplexity_udf
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", perplexity_udf()(F.col("text")).alias("ppl"))
+
+
 SPARK_QUERIES = {
     "langid_gate": q_langid_gate,
     "classify_battery": q_classify_battery,
@@ -831,6 +890,9 @@ SPARK_QUERIES = {
     "langid_heuristic": q_langid_heuristic,
     "multimodal_meta": q_multimodal_meta,
     "sentence_segment": q_sentence_segment,
+    "pii_scrub": q_pii_scrub,
+    "model_langid": q_model_langid,
+    "model_perplexity": q_model_perplexity,
 }
 
 
@@ -865,4 +927,7 @@ def oracle_queries() -> dict[str, str]:
         "langid_heuristic": O_LANGID_HEURISTIC,
         "multimodal_meta": O_MULTIMODAL_META,
         "sentence_segment": O_SENTENCE_SEGMENT,
+        "pii_scrub": O_PII_SCRUB,
+        # model_langid / model_perplexity: no oracle — model inference is
+        # not SQL-expressible; the driver records a rows-only check
     }

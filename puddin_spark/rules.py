@@ -212,3 +212,33 @@ def segment_sentences(clean_text: str) -> list[str]:
                 continue
             sents.extend(s for s in _SENT_END.split(chunk) if s.strip())
     return sents
+
+
+# --- PII / toxicity scrub (graft axis; north_rule "regex PII/toxicity-scrub
+# pipeline"). Applied AFTER the reference-parity scrub so byte-identity on
+# reference fixtures is preserved when the flag is off (SURVEY.md section 7.1
+# step 4). Patterns are RE2-safe (no backrefs/lookaround) so the DuckDB
+# oracle can reproduce them exactly. ---
+
+PII_RULES: list[tuple[str, re.Pattern]] = [
+    ("[EMAIL]", re.compile(r"[\w.+-]+@[\w-]+\.[\w.-]+")),
+    ("[SSN]", re.compile(r"\b\d{3}-\d{2}-\d{4}\b")),
+    ("[CC]", re.compile(r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b")),
+    ("[PHONE]", re.compile(r"\b(?:\+?1[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b")),
+    ("[IP]", re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")),
+]
+
+TOXICITY_WORDS = ("damn", "hell", "crap")  # placeholder list; swap per policy
+TOXICITY_RULE = ("[TOX]", re.compile(r"(?i)\b(" + "|".join(TOXICITY_WORDS) + r")\b"))
+
+
+def scrub_pii(text: str, mask_toxicity: bool = True) -> str:
+    """Mask PII spans (email, SSN, credit card, phone, IPv4) and optionally
+    the toxicity wordlist. Order matters: CC before PHONE so 16-digit runs
+    are not half-eaten by the phone pattern."""
+    for token, pat in PII_RULES:
+        text = pat.sub(token, text)
+    if mask_toxicity:
+        token, pat = TOXICITY_RULE
+        text = pat.sub(token, text)
+    return text

@@ -57,7 +57,8 @@ def _strata_text(ix: int) -> tuple[str, str]:
     through the filter-tripping classes of FIXTURES.md section 1."""
     r = _h(ix, "stratum") % 20
     if r < 11:
-        return _prose(ix), "clean"
+        # web-page-ish length spread (~0.5-2.5 KB)
+        return _prose(ix, 8 + _h(ix, "len") % 24), "clean"
     if r == 11:
         return _prose(ix, 3) + " see  for details.", "undecodable"
     if r == 12:

@@ -80,3 +80,8 @@ def segment_udf(clean_texts: pd.Series) -> pd.Series:
     return clean_texts.map(
         lambda t: rules.segment_sentences(t) if t is not None else []
     )
+
+
+@F.pandas_udf(T.StringType())
+def pii_scrub_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: rules.scrub_pii(t) if t is not None else None)

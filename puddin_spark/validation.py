@@ -1,0 +1,74 @@
+"""Completeness / invariant validation job.
+
+Port of the reference's validation subsystem (confirm_doc_ids.py +
+validate_data_group.py, SURVEY.md section 3.2) as a single Spark job of
+joins — no process pool, no egrep:
+
+invariant (confirm_doc_ids.py:3-27): every selected input document appears
+EXACTLY ONCE across keep ∪ drop; no document is both kept and dropped; no
+kept document lacks clean text; no dropped document has clean text.
+
+Returns a small summary dict (counts only — never collects documents) and a
+violations DataFrame for drill-down.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from puddin_spark.pipeline import dedup_first
+
+
+def validate_run(
+    pages: DataFrame,
+    verdicts: DataFrame,
+    *,
+    selected_lang: str = "en",
+    dedup: bool = True,
+) -> tuple[dict, DataFrame]:
+    """Check verdicts against the pages input they were produced from."""
+    selected = pages.filter(F.col("lang") == selected_lang)
+    if dedup:
+        selected = dedup_first(selected)
+    sel_urls = selected.select("url")
+    got_urls = verdicts.select("url")
+
+    missing = sel_urls.join(got_urls, "url", "left_anti").withColumn(
+        "violation", F.lit("missing")  # F10 'missing*' (validate_data_group.py:410-416)
+    )
+    extra = got_urls.join(sel_urls, "url", "left_anti").withColumn(
+        "violation", F.lit("extra")
+    )
+    dup = (
+        verdicts.groupBy("url")
+        .count()
+        .filter("count > 1")
+        .select("url", F.lit("duplicate").alias("violation"))
+    )
+    # J4-analog: invalid states within a verdict row
+    # (validate_data_group.py:475-493 invalid-exclusions check)
+    bad_state = verdicts.filter(
+        ("keep and excl_type is not null")
+    ).select("url", F.lit("kept_with_label").alias("violation"))
+    bad_text = verdicts.filter(
+        "(keep and clean_text is null) or (not keep and clean_text is not null)"
+    ).select("url", F.lit("text_state").alias("violation"))
+
+    violations = (
+        missing.unionByName(extra)
+        .unionByName(dup)
+        .unionByName(bad_state)
+        .unionByName(bad_text)
+    )
+    counts = {
+        r["violation"]: r["n"]
+        for r in violations.groupBy("violation").agg(F.count("*").alias("n")).collect()
+    }
+    summary = {
+        "n_selected": sel_urls.count(),
+        "n_verdicts": got_urls.count(),
+        "n_violations": sum(counts.values()),
+        "by_type": counts,
+        "ok": not counts,
+    }
+    return summary, violations

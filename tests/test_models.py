@@ -1,0 +1,46 @@
+"""Unit tests for the model-scoring layer (langid profiles, char-LM
+perplexity, PII scrub) — pure Python, no Spark."""
+from __future__ import annotations
+
+from puddin_spark import rules
+from puddin_spark.models import CharLMModel, LangIdModel
+
+
+def test_langid_separates_languages():
+    m = LangIdModel()
+    lang, score = m.predict_one("the old man walked to the market with the dog")
+    assert lang == "en" and score > 0.3
+    assert m.predict_one("der alte mann ging zum markt mit dem hund und der frau")[0] == "de"
+    assert m.predict_one("le vieil homme est alle au marche avec le chien")[0] == "fr"
+    assert m.predict_one("el viejo hombre fue al mercado con el perro")[0] == "es"
+    assert m.predict_one("")[0] == "und"
+
+
+def test_charlm_perplexity_orders_gibberish():
+    lm = CharLMModel(3).train(
+        ["the cat sat on the mat and the dog ran to the park all day long"]
+    )
+    good = lm.perplexity("the cat ran to the mat")
+    bad = lm.perplexity("zqxv jkwp ffzz qqq xjvw")
+    assert good < bad
+    # round-trip serialization preserves scores
+    lm2 = CharLMModel.from_json(lm.to_json())
+    assert lm2.perplexity("the cat ran to the mat") == good
+
+
+def test_pii_scrub_masks_each_kind():
+    t = (
+        "mail a.b+c@ex-ample.org ssn 123-45-6789 card 4111-1111-1111-1111 "
+        "tel 555-867-5309 ip 10.0.0.1 and what the hell"
+    )
+    out = rules.scrub_pii(t)
+    for tok in ("[EMAIL]", "[SSN]", "[CC]", "[PHONE]", "[IP]", "[TOX]"):
+        assert tok in out, f"{tok} not masked: {out}"
+    for leak in ("@", "123-45", "4111", "867", "10.0.0.1", "hell"):
+        assert leak not in out, f"leaked {leak}: {out}"
+
+
+def test_pii_off_preserves_parity_scrub():
+    # flag-off path: reference parity scrub unchanged by the PII module
+    raw = "Plain text with an email nobody@example.com stays when flag off."
+    assert rules.scrub(raw) == raw  # scrub() itself never masks PII

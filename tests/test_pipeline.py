@@ -149,3 +149,18 @@ def test_segmentation_matches_pure_function(spark, verdicts):
         .collect()
     ]
     assert got == rules.segment_sentences(row.clean_text)
+
+
+def test_validation_job(spark, verdicts):
+    from puddin_spark.validation import validate_run
+    from puddin_spark.synth import synth_pages_local
+
+    pages = synth_pages_local(spark, N)
+    summary, violations = validate_run(pages, verdicts)
+    assert summary["ok"], summary
+    assert violations.count() == 0
+
+    # sabotage: drop one verdict row -> exactly one 'missing' violation
+    broken = verdicts.filter("excl_type is null or excl_type != 'wiki'")
+    s2, _ = validate_run(pages, broken)
+    assert not s2["ok"] and s2["by_type"].get("missing", 0) > 0
