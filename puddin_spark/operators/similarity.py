@@ -122,3 +122,65 @@ def srp_candidate_pairs(
         .filter(F.col("cos_sim") >= min_cos)
         .select("id_a", "id_b", "bucket", "cos_sim")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    n_centroids cells (deterministic centroids = the lowest-id vectors, a
+    seeding any engine can reproduce), then search only the nprobe cells
+    nearest to each query.
+
+    Scale shape: the assignment join broadcasts the tiny centroid table; the
+    search join hits only `nprobe/n_centroids` of the corpus per query —
+    at 10^12 vectors the cell id becomes the partition key and each query
+    touches a bounded slice. Accuracy is approximate by construction; the
+    exact baseline is brute_force_topk.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    w_assign = Window.partitionBy("nid").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", F.round(cosine_col("nv", "cent_v"), 6))
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter("rnk = 1")
+        .select("nid", "nv", F.col("cent_id").alias("cell"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("cos_q", F.round(cosine_col("qv", "cent_v"), 6))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= nprobe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("nid") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine_col("qv", "nv"), 6))
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("nid").alias("neighbor_id"), "rank", "cos_sim")
+    )

@@ -860,6 +860,82 @@ def q_model_perplexity(spark, sf_dir):
     return d.select("doc_id", perplexity_udf()(F.col("text")).alias("ppl"))
 
 
+def q_sentence_stats_rollup(spark, sf_dir):
+    """Sentence-grain hierarchical stats (statify subsystem, A5 rollup)."""
+    from puddin_spark.stats import hierarchical_stats, sentence_metrics
+
+    d = read_table(spark, sf_dir, "documents")
+    sents = (
+        d.withColumn("sents", segment_udf("text"))
+        .select("lang", F.explode("sents").alias("sent_text"))
+    )
+    return hierarchical_stats(sentence_metrics(sents), ["lang"])
+
+
+# on this corpus each doc segments to exactly one sentence = trim(text)
+O_SENTENCE_STATS_ROLLUP = """
+with m as (
+  select lang,
+         cast(len(string_split_regex(trim(text), '\\s+')) as int) as n_words,
+         round(cast(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+                                            w -> length(w))) as double)
+               / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) as mean_word_len
+  from documents)
+select coalesce(cast(lang as varchar), 'ALL') as lang,
+       count(*) as n_sents,
+       cast(sum(n_words) as bigint) as total_words,
+       round(avg(n_words), 4) as avg_words_per_sent,
+       cast(max(n_words) as int) as max_words,
+       round(avg(mean_word_len), 4) as avg_word_len
+from m group by rollup(lang)
+"""
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(1, len({a})+1),"
+        f" i -> cast({a}[i] as double) * cast({b}[i] as double)))"
+        f" / (sqrt(list_sum(list_transform(range(1, len({a})+1),"
+        f" i -> cast({a}[i] as double) * cast({a}[i] as double))))"
+        f" * sqrt(list_sum(list_transform(range(1, len({b})+1),"
+        f" i -> cast({b}[i] as double) * cast({b}[i] as double))))))"
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse cells + nprobe search (the scale path; exact
+    baseline is ann_cosine_topk)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter("vec_id < 5"), k=3, n_centroids=8, nprobe=2
+    )
+
+
+O_ANN_IVF_TOPK = f"""
+with cents as (select vec_id as cent_id, embedding as cent_v
+               from embeddings order by vec_id limit 8),
+c as (select vec_id as nid, embedding as nv from embeddings),
+ac as (select nid, nv, cent_id, round({_duck_cos('nv', 'cent_v')}, 6) as cos_c
+       from c cross join cents),
+ar as (select *, row_number() over (partition by nid
+                                    order by cos_c desc, cent_id asc) as rnk from ac),
+assigned as (select nid, nv, cent_id as cell from ar where rnk = 1),
+q as (select vec_id as query_id, embedding as qv from embeddings where vec_id < 5),
+pc as (select query_id, qv, cent_id, round({_duck_cos('qv', 'cent_v')}, 6) as cos_q
+       from q cross join cents),
+pr as (select *, row_number() over (partition by query_id
+                                    order by cos_q desc, cent_id asc) as rnk from pc),
+probes as (select query_id, qv, cell from (select query_id, qv, cent_id as cell, rnk from pr) where rnk <= 2),
+cand as (select p.query_id, a.nid, round({_duck_cos('p.qv', 'a.nv')}, 6) as cos_sim
+         from probes p join assigned a using (cell)
+         where a.nid <> p.query_id),
+r as (select *, row_number() over (partition by query_id
+                                   order by cos_sim desc, nid asc) as rnk2 from cand)
+select query_id, nid as neighbor_id, cast(rnk2 as int) as rank, cos_sim
+from r where rnk2 <= 3
+"""
+
+
 SPARK_QUERIES = {
     "langid_gate": q_langid_gate,
     "classify_battery": q_classify_battery,
@@ -893,6 +969,8 @@ SPARK_QUERIES = {
     "pii_scrub": q_pii_scrub,
     "model_langid": q_model_langid,
     "model_perplexity": q_model_perplexity,
+    "sentence_stats_rollup": q_sentence_stats_rollup,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 
@@ -928,6 +1006,8 @@ def oracle_queries() -> dict[str, str]:
         "multimodal_meta": O_MULTIMODAL_META,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
+        "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,
+        "ann_ivf_topk": O_ANN_IVF_TOPK,
         # model_langid / model_perplexity: no oracle — model inference is
         # not SQL-expressible; the driver records a rows-only check
     }

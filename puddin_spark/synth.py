@@ -114,7 +114,8 @@ def gen_rows(
                 text, _ = _strata_text(jx % 7)
                 lang = "en"
             elif giant_every and jx % giant_every == 7:
-                text = _prose(jx, 400)
+                # ~150 KB outlier document (skew exercises)
+                text = _prose(jx, 2500)
                 lang = "en"
             else:
                 text, _ = _strata_text(jx)

@@ -164,3 +164,20 @@ def test_validation_job(spark, verdicts):
     broken = verdicts.filter("excl_type is null or excl_type != 'wiki'")
     s2, _ = validate_run(pages, broken)
     assert not s2["ok"] and s2["by_type"].get("missing", 0) > 0
+
+
+def test_giant_document_skew(spark):
+    """A multi-MB document flows through the Arrow UDF stage without
+    stalling the run (north-rule skew case; Arrow batches are row-capped)."""
+    from puddin_spark.synth import synth_pages_local
+
+    pages = synth_pages_local(spark, 150, giant_every=13)
+    giants = pages.filter("length(text) > 100000")
+    assert giants.count() > 0
+    out = quality_pipeline(pages, num_partitions=4)
+    big = out.join(
+        giants.select("url"), "url", "left_semi"
+    ).collect()
+    assert len(big) > 0
+    for r in big:
+        assert r.keep and len(r.clean_text) > 100000

@@ -1,0 +1,91 @@
+"""Full reference lifecycle from the reference's OWN demo jsonl input:
+jsonl scan + subset gate -> pipeline -> verdicts byte-checked against the
+golden fixtures -> sentence table -> CoNLL-U text sink."""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from puddin_spark.pipeline import quality_pipeline, sentence_table, lineage_table
+from puddin_spark.sinks import write_conllu, write_lineage_csv
+from puddin_spark.sources import read_pile_jsonl
+
+GOLDEN = json.loads(
+    (Path(__file__).parent / "fixtures" / "golden.json").read_text()
+)
+REF_JSONL = "/root/reference/demo/data/pile/sample-2.jsonl"
+
+
+def test_jsonl_to_verdicts_matches_reference(spark):
+    pages = read_pile_jsonl(spark, REF_JSONL, "Pile-CC", source_label="sample-2")
+    verdicts = quality_pipeline(pages, num_partitions=4).collect()
+
+    want = {
+        r["raw"]: r for r in GOLDEN if r["sample"] == "sample-2"
+    }
+    assert len(verdicts) == len(want)  # subset gate + dedup == reference rows
+
+    by_label: dict[str, int] = {}
+    # rejoin by recomputing the raw-text digest used for the url
+    import hashlib
+
+    url_to_raw = {
+        "pile://sample-2/" + hashlib.sha256(r["raw"].encode()).hexdigest()[:16]: r
+        for r in want.values()
+    }
+    for v in verdicts:
+        g = url_to_raw[v.url]
+        expect = None if g["label"] == "keep" else g["label"]
+        assert v.excl_type == expect
+        if expect is None:
+            assert v.clean_text == g["clean"]  # byte identity from jsonl e2e
+        by_label[v.excl_type or "keep"] = by_label.get(v.excl_type or "keep", 0) + 1
+    assert by_label == {"keep": 29, "punc": 10, "a0wrd": 7, "code": 2, "html": 1}
+
+
+def test_subset_gate_excludes_other_sets(spark):
+    pages = read_pile_jsonl(spark, REF_JSONL, "Pile-CC")
+    raw_lines = sum(1 for _ in open(REF_JSONL, encoding="utf-8-sig"))
+    assert pages.count() < raw_lines  # non-Pile-CC rows gated at the scan
+    # filter reaches the json scan
+    plan = pages._jdf.queryExecution().executedPlan().toString()
+    assert "pile_set_name" in plan
+
+
+def test_conllu_sink_roundtrip(spark, tmp_path):
+    pages = read_pile_jsonl(spark, REF_JSONL, "Pile-CC", source_label="s2")
+    verdicts = quality_pipeline(pages, num_partitions=4)
+    sents = sentence_table(verdicts)
+    out = tmp_path / "conllu"
+    write_conllu(sents, str(out), num_slices=3)
+
+    files = sorted(out.glob("part-*.txt"))
+    assert files, "no text files written"
+    text = "\n".join(f.read_text() for f in files)
+    n_docs = text.count("# newdoc id = ")
+    assert n_docs == verdicts.filter("keep").count()
+    assert text.count("# sent_id = ") == sents.count()
+    assert text.count("# text = ") == sents.count()
+    # document blocks are contiguous: every sent_id's doc prefix matches the
+    # most recent newdoc id
+    cur = None
+    for line in text.splitlines():
+        if line.startswith("# newdoc id = "):
+            cur = line.removeprefix("# newdoc id = ")
+        elif line.startswith("# sent_id = "):
+            sid = line.removeprefix("# sent_id = ")
+            assert cur is not None and sid.startswith(cur + "_")
+
+
+def test_lineage_csv_sink(spark, tmp_path):
+    pages = read_pile_jsonl(spark, REF_JSONL, "Pile-CC")
+    verdicts = quality_pipeline(pages, num_partitions=4)
+    out = tmp_path / "lineage"
+    write_lineage_csv(lineage_table(verdicts, num_partitions=4), str(out))
+    csvs = list(out.glob("*.csv"))
+    assert len(csvs) == 1
+    header = csvs[0].read_text().splitlines()[0]
+    for col in ("partition_id", "n_docs", "n_keep", "n_drop", "rule_hit_counts"):
+        assert col in header
