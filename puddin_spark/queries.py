@@ -860,6 +860,21 @@ def q_model_perplexity(spark, sf_dir):
     return d.select("doc_id", perplexity_udf()(F.col("text")).alias("ppl"))
 
 
+def q_salted_rule_counts(spark, sf_dir):
+    """rule_hit_counts via explicit two-phase salted aggregation — identical
+    result, skew-proof shuffle shape (north_rule salting)."""
+    from puddin_spark.operators.aggs import salted_counts
+
+    labeled = _aug_docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(classify_udf(F.col("t")), F.lit("keep")).alias("label")
+    )
+    return salted_counts(labeled, ["label"], "doc_id", buckets=16)
+
+
+# identical result to the unsalted count — salting changes only the shuffle
+O_SALTED_RULE_COUNTS = O_RULE_HIT_COUNTS
+
+
 def q_sentence_stats_rollup(spark, sf_dir):
     """Sentence-grain hierarchical stats (statify subsystem, A5 rollup)."""
     from puddin_spark.stats import hierarchical_stats, sentence_metrics
@@ -971,6 +986,7 @@ SPARK_QUERIES = {
     "model_perplexity": q_model_perplexity,
     "sentence_stats_rollup": q_sentence_stats_rollup,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "salted_rule_counts": q_salted_rule_counts,
 }
 
 
@@ -1008,6 +1024,7 @@ def oracle_queries() -> dict[str, str]:
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,
         "ann_ivf_topk": O_ANN_IVF_TOPK,
+        "salted_rule_counts": O_SALTED_RULE_COUNTS,
         # model_langid / model_perplexity: no oracle — model inference is
         # not SQL-expressible; the driver records a rows-only check
     }
