@@ -618,14 +618,20 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Blocked-quadratic exact verifier, demonstrated on a 5-source subset:
+    the at-scale candidate generator is minhash_lsh_pairs — all-pairs
+    verification is what you run on candidates, never on a full corpus."""
+    sub = _neardup_docs(spark, sf_dir).filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
     return dedup.ngram_jaccard_pairs(
-        _neardup_docs(spark, sf_dir), "doc_id", "text",
-        block_col="source", n=3, threshold=0.5,
+        sub, "doc_id", "text", block_col="source", n=3, threshold=0.5,
     )
 
 
 O_NGRAM_JACCARD = f"""
-with u as ({ORACLE_NEARDUP}),
+with u0 as ({ORACLE_NEARDUP}),
+u as (select * from u0 where source in ('src0','src1','src2','src3','src4')),
 g as (select doc_id as id, source as blk,
              list_distinct(list_transform(
                range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),

@@ -107,14 +107,32 @@ EXCL_TYPES = ["?unk", "wiki", "html", "json", "code", "_wrd", "a0wrd", "punc", "
 
 # --- scrub chain ---
 
+# Hot-path guards: each is a NECESSARY substring condition for its pattern
+# (if the guard is false the regex cannot match / the sub is the identity),
+# so skipping is semantics-free. memchr-speed `in` checks are 10-100x
+# cheaper than a failed regex scan; profiled ~2x throughput on clean prose.
+_DIGITS = "0123456789"
+
+
+def _has_digit(t: str) -> bool:
+    return any(d in t for d in _DIGITS)
+
+
+def _has_upper(t: str) -> bool:
+    # MISSING_SPACE's both alternatives require an [A-Z] char
+    return t != t.lower()
+
+
 def scrub_stage1(text: str) -> str:
     """C1-C4: transliterate, unwrap bbcode urls, strip urls, repair missing
     spaces (clean_df, parse_pile.py:910-934). Output = the mid-state text the
     exclusion battery sees."""
     t = transliterate(text)
-    t = BRACKET_URL.sub(r"\1", t)
+    if "[url=" in t:  # BRACKET_URL needs the literal '[url='
+        t = BRACKET_URL.sub(r"\1", t)
     t = LIKELY_URL.sub(" ", t)
-    t = MISSING_SPACE.sub(r"\1\3 \2\4", t)
+    if _has_upper(t):
+        t = MISSING_SPACE.sub(r"\1\3 \2\4", t)
     return t
 
 
@@ -122,7 +140,8 @@ def scrub_stage2(mid: str) -> str:
     """C5-C6: punctuation-run paragraph breaks + line-break abbreviation
     repair (clean_df, parse_pile.py:956-961). Applied to KEPT docs only."""
     t = PUNC_ONLY.sub(r"\1\2\3\4\5\6\7\n\n", mid)
-    t = EOL_ABBR.sub(r"\1\2\5\6 \3\4", t)
+    if "\n" in t:  # every EOL_ABBR alternative contains \n
+        t = EOL_ABBR.sub(r"\1\2\5\6 \3\4", t)
     return t
 
 
@@ -141,28 +160,31 @@ def remove_breaks(textstr: str) -> str:
 
 # --- keep/drop battery ---
 
-_REGEX_CASCADE = [
-    ("json", JSON_LIKE),
-    ("code", CODE_LIKE),
-    ("_wrd", UNDERSCORE_WORD),
-    ("a0wrd", MIXED_LETTER_DIGIT),
-    ("punc", MIDWORD_PUNC),
-]
-
-
 def classify(mid: str) -> str | None:
     """First-match-wins exclusion label on the mid-state (post-C4) text, or
     None to keep. Order per pull_exclusions (parse_pile.py:1009,1021,1031,
-    1084-1107)."""
-    if UNK_AS_REGEX.search(mid):
+    1084-1107). Substring guards are necessary conditions (see above):
+    ?unk needs 'UNK__>', wikipat '|', html '<'/'>', json '{\"', code one of
+    '=<>!', _wrd '_', a0wrd a digit (both alternatives contain \\d)."""
+    if "UNK__>" in mid and UNK_AS_REGEX.search(mid):
         return "?unk"
-    if DEFWIKI.search(mid) or WIKIPAT.search(mid):
+    if DEFWIKI.search(mid) or ("|" in mid and WIKIPAT.search(mid)):
         return "wiki"
-    if LIKELY_HTML.search(mid):
+    if "<" in mid and ">" in mid and LIKELY_HTML.search(mid):
         return "html"
-    for label, pat in _REGEX_CASCADE:
-        if pat.search(mid):
-            return label
+    if '{"' in mid and JSON_LIKE.search(mid):
+        return "json"
+    if (
+        ("=" in mid or "<" in mid or ">" in mid or "!" in mid)
+        and CODE_LIKE.search(mid)
+    ):
+        return "code"
+    if "_" in mid and UNDERSCORE_WORD.search(mid):
+        return "_wrd"
+    if _has_digit(mid) and MIXED_LETTER_DIGIT.search(mid):
+        return "a0wrd"
+    if MIDWORD_PUNC.search(mid):
+        return "punc"
     return None
 
 
@@ -194,18 +216,21 @@ def segment_sentences(clean_text: str) -> list[str]:
        comments (parse_pile.py:1509-1512).
     """
     sents: list[str] = []
-    for para in re.split(r"\n{2,}", clean_text.strip()):
+    stripped = clean_text.strip()
+    paras = re.split(r"\n{2,}", stripped) if "\n" in stripped else [stripped]
+    for para in paras:
         if not para.strip():
             continue
-        pieces = [para]
         out_pieces: list[str] = []
-        for piece in pieces:
+        if "\n" in para:  # every LINEBREAK_IS_SENT alternative contains \n
             last = 0
-            for m in LINEBREAK_IS_SENT.finditer(piece):
-                cut = piece.index("\n", m.start(), m.end()) if "\n" in m.group(0) else m.end()
-                out_pieces.append(piece[last:cut])
+            for m in LINEBREAK_IS_SENT.finditer(para):
+                cut = para.index("\n", m.start(), m.end()) if "\n" in m.group(0) else m.end()
+                out_pieces.append(para[last:cut])
                 last = cut + 1
-            out_pieces.append(piece[last:])
+            out_pieces.append(para[last:])
+        else:
+            out_pieces.append(para)
         for chunk in out_pieces:
             chunk = remove_breaks(chunk)
             if not chunk:

@@ -72,3 +72,54 @@ def test_segmentation_basic():
     sents = rules.segment_sentences("First sentence. Second one! Third?\n\nNew para here.")
     assert sents[0] == "First sentence."
     assert "New para here." in sents
+
+
+# --- property tests: the hot-path substring guards are semantics-free ---
+
+from hypothesis import given, settings, strategies as st
+
+_CHARS = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefgh XYZ_0129 \n.|!<>={}\"'[]/url=:-()#*~`\\@&;,?’人")
+    ),
+    max_size=120,
+)
+
+
+def _classify_unguarded(mid):
+    if rules.UNK_AS_REGEX.search(mid):
+        return "?unk"
+    if rules.DEFWIKI.search(mid) or rules.WIKIPAT.search(mid):
+        return "wiki"
+    if rules.LIKELY_HTML.search(mid):
+        return "html"
+    for label, pat in [
+        ("json", rules.JSON_LIKE),
+        ("code", rules.CODE_LIKE),
+        ("_wrd", rules.UNDERSCORE_WORD),
+        ("a0wrd", rules.MIXED_LETTER_DIGIT),
+        ("punc", rules.MIDWORD_PUNC),
+    ]:
+        if pat.search(mid):
+            return label
+    return None
+
+
+@settings(max_examples=500, deadline=None)
+@given(_CHARS)
+def test_guarded_classify_equals_unguarded(t):
+    assert rules.classify(t) == _classify_unguarded(t)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_CHARS)
+def test_guarded_scrub_equals_unguarded(t):
+    mid = rules.transliterate(t)
+    mid = rules.BRACKET_URL.sub(r"\1", mid)
+    mid = rules.LIKELY_URL.sub(" ", mid)
+    mid = rules.MISSING_SPACE.sub(r"\1\3 \2\4", mid)
+    assert rules.scrub_stage1(t) == mid
+    full = rules.EOL_ABBR.sub(
+        r"\1\2\5\6 \3\4", rules.PUNC_ONLY.sub(r"\1\2\3\4\5\6\7\n\n", mid)
+    )
+    assert rules.scrub(t) == full
