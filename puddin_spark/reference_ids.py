@@ -1,0 +1,108 @@
+"""Reference-exact document/slice id synthesis (optional parity surface).
+
+The pipeline's native keys are sha2(url); this module reproduces the
+reference's hierarchical string ids bit-for-bit for users who need file-level
+parity with existing puddin output:
+
+- raw ids   `pcc_<label>_<NN>`            (create_ids, parse_pile.py:745-788:
+  NN = row number zfilled to len(str(max_index)) — i.e. len(str(n-1)))
+- slice plan: chop `limit`-sized slices while more than int(2.2*limit) rows
+  remain, then halve the remainder if it exceeds int(1.1*limit)
+  (slice_df, parse_pile.py:1159-1178); demo-verified split 29 -> [10, 9, 10]
+- slice ids `pcc_eng_<label>_<S>.<P>_x<NN>` where S = slice number zfilled to
+  len(str(n_slices)), P = position-in-slice zfilled to len(str(size-1)), and
+  NN = the raw id's numeric suffix (create_ids with zfilled_slice_num)
+
+zfill never truncates — Spark's lpad does, hence the greatest(length, w)
+guard. The only driver-side work is arithmetic on row counts (two-pass O3
+from SURVEY.md section 2.7); the boundary table is tiny (n/limit rows) and
+broadcast.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def plan_slices(n: int, limit: int) -> list[int]:
+    """Slice sizes for n rows (parse_pile.py:1159-1178, incl. tail halving)."""
+    sizes: list[int] = []
+    rem = n
+    while rem > int(2.2 * limit):
+        sizes.append(limit)
+        rem -= limit
+    if rem > int(1.1 * limit):
+        half = rem // 2
+        sizes.append(half)
+        rem -= half
+    sizes.append(rem)
+    return sizes
+
+
+def _zfill(col_sql: str, width: int) -> str:
+    """SQL zfill: pad to `width` but never truncate (unlike bare lpad)."""
+    return f"lpad({col_sql}, greatest(length({col_sql}), {width}), '0')"
+
+
+def add_raw_ids(
+    df: DataFrame,
+    *,
+    code: str = "pcc",
+    label: str,
+    order_col: str = "url",
+) -> DataFrame:
+    """Assign reference raw ids `<code>_<label>_<NN>` in `order_col` order."""
+    n = df.count()
+    width = len(str(max(n - 1, 0)))
+    w = Window.orderBy(order_col)
+    return df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "text_id",
+        F.expr(
+            f"concat('{code}_{label}_', {_zfill('cast(_rn as string)', width)})"
+        ),
+    ).drop("_rn")
+
+
+def add_slice_ids(
+    kept: DataFrame,
+    spark: SparkSession,
+    *,
+    code: str = "pcc",
+    label: str,
+    limit: int = 9999,
+) -> DataFrame:
+    """Re-id kept docs into slice-scoped ids, ordered by raw text_id.
+
+    Output adds: slice_numstr, orig_text_id, and the slice-form text_id
+    `<code>_eng_<label>_<S>.<P>_x<NN>`.
+    """
+    n = kept.count()
+    sizes = plan_slices(n, limit)
+    slice_width = len(str(len(sizes)))
+    bounds = []
+    start = 1
+    for i, size in enumerate(sizes):
+        slice_label = str(i + 1).zfill(slice_width)
+        pos_width = len(str(max(size - 1, 0)))
+        bounds.append((slice_label, start, start + size - 1, pos_width))
+        start += size
+    bdf = spark.createDataFrame(
+        bounds, "slice_numstr string, start_rn long, end_rn long, pos_width int"
+    )
+    w = Window.orderBy("text_id")
+    ranked = kept.withColumn("_rn", F.row_number().over(w)).withColumnRenamed(
+        "text_id", "orig_text_id"
+    )
+    joined = ranked.join(
+        F.broadcast(bdf),
+        (F.col("_rn") >= F.col("start_rn")) & (F.col("_rn") <= F.col("end_rn")),
+    )
+    pos = "cast(_rn - start_rn + 1 as string)"
+    pos_z = f"lpad({pos}, greatest(length({pos}), pos_width), '0')"
+    return joined.withColumn(
+        "text_id",
+        F.expr(
+            f"concat('{code}_eng_{label}_', slice_numstr, '.', {pos_z},"
+            f" '_x', element_at(split(orig_text_id, '_'), -1))"
+        ),
+    ).drop("_rn", "start_rn", "end_rn", "pos_width")
