@@ -146,12 +146,13 @@ def sentence_table(verdicts: DataFrame) -> DataFrame:
     )
 
 
-def conllu_skeleton(sentences: DataFrame) -> DataFrame:
+def conllu_skeleton(sentences: DataFrame, with_tokens: bool = False) -> DataFrame:
     """Render the CoNLL-U comment skeleton per sentence: `# newdoc id` on the
     first sentence of a doc, `# sent_id = <doc>_<n zfilled>` and `# text =`
-    (format: parse_pile.py:1496-1515). Token lines are downstream (the
-    reference used Stanza's dependency parser, out of scope per north_star:
-    segmentation feeds the downstream UD annotator)."""
+    (format: parse_pile.py:1496-1515). With with_tokens=True, 10-column token
+    lines follow (FORM filled, annotation columns '_' — the reference used
+    Stanza's dependency parser; per north_star, segmentation + tokenization
+    feed the downstream UD annotator)."""
     w = Window.partitionBy("doc_id")
     with_max = sentences.withColumn("_max_sent", F.max("sent_num").over(w))
     sid = F.concat(
@@ -163,12 +164,23 @@ def conllu_skeleton(sentences: DataFrame) -> DataFrame:
         F.col("sent_num") == 1,
         F.concat(F.lit("# newdoc id = "), F.col("doc_id"), F.lit("\n")),
     ).otherwise(F.lit(""))
+    parts = [
+        header,
+        F.lit("# sent_id = "), sid, F.lit("\n"),
+        F.lit("# text = "), F.col("sent_text"),
+    ]
+    if with_tokens:
+        from puddin_spark.udfs import tokenize_udf
+
+        with_max = with_max.withColumn("_toks", tokenize_udf("sent_text"))
+        token_lines = F.expr(
+            "concat_ws('\\n', transform(_toks, (tok, i) ->"
+            " concat(cast(i + 1 as string), '\\t', tok,"
+            " '\\t_\\t_\\t_\\t_\\t_\\t_\\t_\\t_')))"
+        )
+        parts += [F.lit("\n"), token_lines]
     return with_max.select(
         "doc_id",
         "sent_num",
-        F.concat(
-            header,
-            F.lit("# sent_id = "), sid, F.lit("\n"),
-            F.lit("# text = "), F.col("sent_text"),
-        ).alias("conllu"),
+        F.concat(*parts).alias("conllu"),
     )

@@ -133,10 +133,10 @@ from documents where lang = 'en' group by source
 
 
 def q_classify_battery(spark, sf_dir):
-    return _aug_docs(spark, sf_dir).select(
-        "doc_id",
-        classify_udf(F.col("t")).alias("excl_type"),
-        classify_udf(F.col("t")).isNull().alias("keep"),
+    return (
+        _aug_docs(spark, sf_dir)
+        .select("doc_id", classify_udf(F.col("t")).alias("excl_type"))
+        .withColumn("keep", F.col("excl_type").isNull())
     )
 
 

@@ -267,3 +267,15 @@ def scrub_pii(text: str, mask_toxicity: bool = True) -> str:
         token, pat = TOXICITY_RULE
         text = pat.sub(token, text)
     return text
+
+
+# --- tokenization (CoNLL-U token lines; whitespace + punctuation splitter,
+# the pre-annotation FORM column — UPOS/HEAD/DEPREL stay '_' for the
+# downstream UD annotator per north_star scope) ---
+
+TOKEN_PATTERN = re.compile(r"\w+|[^\w\s]")
+
+
+def tokenize(sentence: str) -> list[str]:
+    """UD-ish surface tokens: word runs and single punctuation marks."""
+    return TOKEN_PATTERN.findall(sentence)

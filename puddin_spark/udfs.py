@@ -85,3 +85,8 @@ def segment_udf(clean_texts: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def pii_scrub_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: rules.scrub_pii(t) if t is not None else None)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(sents: pd.Series) -> pd.Series:
+    return sents.map(lambda s: rules.tokenize(s) if s is not None else [])

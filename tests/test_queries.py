@@ -71,6 +71,24 @@ def test_query_matches_oracle(spark, duck, name):
     orows = res.fetchall()
 
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    # type-level schema comparison (canonicalized across engines)
+    canon = {
+        "bigint": "long", "integer": "int", "varchar": "string",
+        "boolean": "bool", "double precision": "double", "float": "double",
+        "hugeint": "HUGEINT_NOT_ALLOWED",
+        # parquet naive timestamps surface as NTZ in Spark 4; session TZ is
+        # UTC on both engines so they are the same instant semantics
+        "timestamp_ntz": "timestamp",
+    }
+    stypes = {
+        f.name.lower(): canon.get(f.dataType.simpleString(), f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+    duck_types = duck.execute(f"describe select * from ({sql}) q").fetchall()
+    otypes = {
+        r[0].lower(): canon.get(r[1].lower(), r[1].lower()) for r in duck_types
+    }
+    assert stypes == otypes, f"{name}: schema types differ: {stypes} vs {otypes}"
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
     sm = _rows_to_multiset(scols, srows)
     om = _rows_to_multiset(ocols, orows)

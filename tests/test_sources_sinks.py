@@ -89,3 +89,23 @@ def test_lineage_csv_sink(spark, tmp_path):
     header = csvs[0].read_text().splitlines()[0]
     for col in ("partition_id", "n_docs", "n_keep", "n_drop", "rule_hit_counts"):
         assert col in header
+
+
+def test_conllu_token_lines(spark):
+    from pyspark.sql import functions as F
+    from puddin_spark.pipeline import conllu_skeleton
+
+    sents = spark.createDataFrame(
+        [("d1", 1, 'He said "hi" today.'), ("d1", 2, "Then left!")],
+        "doc_id string, sent_num int, sent_text string",
+    )
+    out = {r.sent_num: r.conllu for r in conllu_skeleton(sents, with_tokens=True).collect()}
+    lines = out[1].splitlines()
+    assert lines[0] == "# newdoc id = d1"
+    assert lines[2] == '# text = He said "hi" today.'
+    # token rows: 1..n, FORM filled, 8 '_' columns
+    toks = [l.split("\t") for l in lines[3:]]
+    assert [t[1] for t in toks] == ["He", "said", '"', "hi", '"', "today", "."]
+    assert all(len(t) == 10 and t[2:] == ["_"] * 8 for t in toks)
+    assert [t[0] for t in toks] == [str(i + 1) for i in range(len(toks))]
+    assert out[2].splitlines()[-1].startswith("3\t!")
