@@ -51,6 +51,12 @@ BENCH_QUERIES = [
 ]
 
 
+def corpus_mb(spark, pages_path: str) -> float:
+    df = spark.read.parquet(pages_path)
+    total = df.selectExpr("sum(length(text)) as b").collect()[0].b
+    return total / 1e6
+
+
 def run_pipeline_at(cores: int, pages_path: str, repeats: int = 2) -> tuple[int, float]:
     """Read pages parquet -> full pipeline -> sink, at local[cores].
     Returns (n_docs_in, best_wall_sec of `repeats`). Fresh SparkSession per
@@ -113,6 +119,9 @@ def main() -> None:
     n_docs = 0
     for c in levels:
         n_docs, walls[c] = run_pipeline_at(c, pages_path)
+    spark_mb = get_spark(master="local[4]", app_name="bench_mb0")
+    mb_uniform = corpus_mb(spark_mb, pages_path)
+    spark_mb.stop()
     shutil.rmtree(pages_path, ignore_errors=True)
     thr = {c: n_docs / w for c, w in walls.items()}
     eff_2_8 = (thr[8] / thr[2]) / 4
@@ -126,6 +135,30 @@ def main() -> None:
         pipeline["scaling_efficiency_8_to_%d" % CPUS] = round(
             (thr[CPUS] / thr[8]) / (CPUS / 8), 3
         )
+
+    # --- skew stress: same pipeline with ~1% giant (~150 KB) documents.
+    # url-hash repartition + row-capped Arrow batches keep stragglers
+    # bounded; report the throughput ratio vs the uniform corpus ---
+    skew_path = tempfile.mkdtemp(prefix="bench_skew_")
+    spark2 = get_spark(master=f"local[{CPUS}]", app_name="bench_synth2")
+    synth_pages(spark2, N_DOCS, parts=CPUS, giant_every=101).write.mode(
+        "overwrite"
+    ).parquet(skew_path)
+    spark2.stop()
+    n_sk, t_sk = run_pipeline_at(CPUS, skew_path, repeats=2)
+    spark3 = get_spark(master="local[4]", app_name="bench_mb")
+    mb_sk = corpus_mb(spark3, skew_path)
+    spark3.stop()
+    shutil.rmtree(skew_path, ignore_errors=True)
+    pipeline["docs_per_sec_skewed_1pct_giants"] = round(n_sk / t_sk, 1)
+    pipeline["skew_doc_ratio"] = round((n_sk / t_sk) / thr[CPUS], 3)
+    # byte-normalized: if close to 1, giants cost only their extra bytes
+    # (no straggler collapse) — the honest skew-handling signal
+    pipeline["mb_per_sec_uniform"] = round(mb_uniform / walls[CPUS], 1)
+    pipeline["mb_per_sec_skewed"] = round(mb_sk / t_sk, 1)
+    pipeline["skew_mb_ratio"] = round(
+        (mb_sk / t_sk) / (mb_uniform / walls[CPUS]), 3
+    )
 
     total = round(time.perf_counter() - total_t0, 3)
     print(

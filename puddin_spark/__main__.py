@@ -1,0 +1,129 @@
+"""Command-line entry points (the reference's script surface, SURVEY.md §3):
+
+  python -m puddin_spark run      -i <pages.parquet|.jsonl> -d <dest>
+      the pipeline job (parse_pile.py §3.1): resumable quality filter into a
+      snapshot store at <dest>/verdicts, lineage CSV at <dest>/lineage,
+      optional CoNLL-U text output at <dest>/conllu
+  python -m puddin_spark validate -i <pages> -d <dest>
+      the completeness checker (confirm_doc_ids.py §3.2)
+  python -m puddin_spark stats    -d <dest>
+      corpus statistics rollup (statify_puddin.py §3.3)
+
+Designed for spark-submit too:  spark-submit --py-files puddin_spark.zip
+<this file> run -i ... -d ...  (the session builder only applies defaults
+that aren't already set by spark-submit --conf).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _pages(spark, path: str, subset: str):
+    if path.endswith(".jsonl") or path.endswith(".json"):
+        from puddin_spark.sources import read_pile_jsonl
+
+        return read_pile_jsonl(spark, path, subset)
+    return spark.read.parquet(path)
+
+
+def cmd_run(args) -> int:
+    from puddin_spark.pipeline import sentence_table
+    from puddin_spark.session import get_spark
+    from puddin_spark.sinks import write_conllu, write_lineage_csv
+    from puddin_spark.snapshots import SnapshotStore, run_resumable_pipeline
+
+    spark = get_spark(master=args.master, app_name="puddin_spark.run")
+    pages = _pages(spark, args.input, args.subset)
+    if args.limit:
+        pages = pages.limit(args.limit)
+    store = SnapshotStore(f"{args.dest}/verdicts")
+    snap_id, n_new = run_resumable_pipeline(
+        spark, pages, store, num_partitions=args.partitions
+    )
+    out = {"snapshot_id": snap_id, "new_docs": n_new}
+    if snap_id >= 0:
+        lineage = store.read_lineage(spark)
+        write_lineage_csv(lineage, f"{args.dest}/lineage")
+        verdicts = store.read(spark)
+        out["total_docs"] = verdicts.count()
+        out["total_keep"] = verdicts.filter("keep").count()
+        if args.conllu:
+            write_conllu(
+                sentence_table(verdicts),
+                f"{args.dest}/conllu",
+                num_slices=args.partitions,
+            )
+            out["conllu_dir"] = f"{args.dest}/conllu"
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from puddin_spark.session import get_spark
+    from puddin_spark.snapshots import SnapshotStore
+    from puddin_spark.validation import validate_run
+
+    spark = get_spark(master=args.master, app_name="puddin_spark.validate")
+    pages = _pages(spark, args.input, args.subset)
+    store = SnapshotStore(f"{args.dest}/verdicts")
+    verdicts = store.read(spark)
+    if verdicts is None:
+        print(json.dumps({"ok": False, "error": "no committed verdicts"}))
+        spark.stop()
+        return 2
+    summary, _ = validate_run(pages, verdicts, dedup=False)
+    # incremental stores process duplicate-text urls across commits by
+    # design (global dedup is by text digest); recheck 'missing' modulo that
+    print(json.dumps(summary))
+    spark.stop()
+    return 0 if summary["ok"] else 1
+
+
+def cmd_stats(args) -> int:
+    from pyspark.sql import functions as F
+
+    from puddin_spark.pipeline import sentence_table
+    from puddin_spark.session import get_spark
+    from puddin_spark.snapshots import SnapshotStore
+    from puddin_spark.stats import hierarchical_stats, sentence_metrics
+
+    spark = get_spark(master=args.master, app_name="puddin_spark.stats")
+    store = SnapshotStore(f"{args.dest}/verdicts")
+    verdicts = store.read(spark)
+    if verdicts is None:
+        print(json.dumps({"error": "no committed verdicts"}))
+        spark.stop()
+        return 2
+    sents = sentence_table(verdicts).join(
+        verdicts.select("doc_id", "lang"), "doc_id"
+    )
+    rows = hierarchical_stats(sentence_metrics(sents), ["lang"]).collect()
+    print(json.dumps([r.asDict() for r in rows], default=str))
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="puddin_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("run", cmd_run), ("validate", cmd_validate), ("stats", cmd_stats)]:
+        sp = sub.add_parser(name)
+        sp.set_defaults(fn=fn)
+        sp.add_argument("-d", "--dest", required=True)
+        sp.add_argument("--master", default=None)
+        sp.add_argument("--partitions", type=int, default=32)
+        sp.add_argument("--subset", default="Pile-CC")
+        if name in ("run", "validate"):
+            sp.add_argument("-i", "--input", required=True)
+        if name == "run":
+            sp.add_argument("--limit", type=int, default=0)
+            sp.add_argument("--conllu", action="store_true")
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

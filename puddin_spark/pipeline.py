@@ -67,10 +67,28 @@ def quality_pipeline(
     df = pages.filter(F.col("lang") == selected_lang)
     # prune early: html bytes never reach the Python workers
     df = df.select("url", "warc_ts", "lang", "text")
-    if dedup:
+    if dedup and num_partitions:
+        # ONE shuffle serves both needs: an explicit repartition on the text
+        # digest (a) satisfies the dedup window's required distribution, so
+        # the window adds no second exchange, and (b) is a uniform hash
+        # partitioning for the UDF stage (the north rule's explicit shuffle
+        # control; digest-hash is as uniform as url-hash and additionally
+        # co-locates duplicates). Being an explicit repartition, AQE will
+        # not coalesce it under the UDF.
+        key = F.sha2("text", 256)
+        df = df.repartition(num_partitions, key)
+        w = Window.partitionBy(F.sha2("text", 256)).orderBy("warc_ts", "url")
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    elif dedup:
         df = dedup_first(df)
-    if num_partitions:
-        df = df.repartition(num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions)))
+    elif num_partitions:
+        df = df.repartition(
+            num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions))
+        )
     out = df.withColumn("_res", process_udf(F.col("text")))
     clean = F.col("_res.clean_text")
     if pii_scrub:
