@@ -37,9 +37,11 @@ def _norm(v):
     if isinstance(v, bool):
         return v
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+        # BIT-exact: queries round floats internally on both sides, and
+        # Spark/DuckDB agree to the last ulp on every emitted value
+        # (verified across the whole catalog) — so no tolerance here,
+        # matching the strictest possible driver-side value hash
+        return "NaN" if math.isnan(v) else v.hex()
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (bytes, bytearray)):
