@@ -5,13 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from puddin_spark.plans import executed_plan as _plan
 from puddin_spark.queries import SPARK_QUERIES
 
 SF = "/root/testdata/sf0.01"
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_langid_gate_pushdown_and_pruning(spark):
@@ -53,3 +50,14 @@ def test_pipeline_prunes_html_before_udf(spark):
 def test_exact_dedup_shuffles_digest_not_body(spark):
     plan = _plan(SPARK_QUERIES["dedup_exact_first"](spark, SF))
     assert "sha2" in plan and "hashpartitioning" in plan
+
+
+def test_pipeline_single_exchange(spark):
+    """dedup + repartition + UDF must plan exactly ONE shuffle (the explicit
+    text-digest repartition also satisfies the window distribution)."""
+    from puddin_spark.plans import count_exchanges
+    from puddin_spark.pipeline import quality_pipeline
+    from puddin_spark.synth import synth_pages_local
+
+    v = quality_pipeline(synth_pages_local(spark, 100), num_partitions=4)
+    assert count_exchanges(v) == 1
