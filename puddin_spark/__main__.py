@@ -74,9 +74,9 @@ def cmd_validate(args) -> int:
         print(json.dumps({"ok": False, "error": "no committed verdicts"}))
         spark.stop()
         return 2
-    summary, _ = validate_run(pages, verdicts, dedup=False)
-    # incremental stores process duplicate-text urls across commits by
-    # design (global dedup is by text digest); recheck 'missing' modulo that
+    # incremental stores dedup globally by text digest: a url shadowed by a
+    # committed duplicate text is covered, not missing
+    summary, _ = validate_run(pages, verdicts, dedup=False, digest_aware=True)
     print(json.dumps(summary))
     spark.stop()
     return 0 if summary["ok"] else 1

@@ -92,7 +92,6 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), sh.alias("sh"))
         .withColumn("mh", minhash_signature("sh", num_hashes))
     )
-    sig = sig.persist()
     # the band self-join moves ONLY (id, band) — the shingle arrays rejoin
     # after candidate dedup, so shuffles stay narrow (scale-critical: at
     # 10^12 docs the band join is the big shuffle and must not carry bodies)
@@ -218,7 +217,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_ngrams(text_col, n).alias("ng"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
-    ).persist()
+    )
     # pair generation carries only (id, |ng|): J(a,b) >= t implies
     # min(|a|,|b|)/max(|a|,|b|) >= t (I <= min, U >= max), so the size-ratio
     # prefilter is exact — no candidate that could pass is dropped, and the

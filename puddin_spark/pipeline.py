@@ -86,16 +86,17 @@ def quality_pipeline(
     elif dedup:
         df = dedup_first(df)
     elif num_partitions:
-        df = df.repartition(
-            num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions))
-        )
+        # hash the url itself: repartitioning on a pre-bucketed pmod value
+        # would re-hash num_partitions distinct values into num_partitions
+        # partitions (balls-in-bins: ~37% empty, stragglers elsewhere)
+        df = df.repartition(num_partitions, F.col("url"))
     out = df.withColumn("_res", process_udf(F.col("text")))
     clean = F.col("_res.clean_text")
     if pii_scrub:
         # graft-axis PII/toxicity masking AFTER the parity scrub (rules
         # docstring; off by default so reference byte-identity holds)
         clean = pii_scrub_udf(clean)
-    return out.select(
+    result = out.select(
         doc_id_col().alias("doc_id"),
         "url",
         "warc_ts",
@@ -107,6 +108,8 @@ def quality_pipeline(
         F.col("_res.excl_type").isNull().alias("keep"),
         F.col("_res.excl_type").alias("excl_type"),
     )
+    assert result.columns == OUTPUT_COLS  # the published schema contract
+    return result
 
 
 def lineage_table(verdicts: DataFrame, num_partitions: int = 32) -> DataFrame:

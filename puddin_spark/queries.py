@@ -54,9 +54,6 @@ case cast(doc_id % 10 as int)
 end
 """.strip()
 
-# expected label per suffix branch (first-match cascade). Branch 8/9 -> keep.
-_BRANCH_LABELS = ["wiki", "html", "json", "code", "_wrd", "a0wrd", "punc", "wiki"]
-
 # DuckDB-side classify cascade on column `t` (RE2; see module docstring for
 # the html-surrogate note: RE2 has no backreferences, but on this corpus the
 # only open/close tag pair is the injected one, so the surrogate is exact).
@@ -637,13 +634,13 @@ g as (select doc_id as id, source as blk,
                range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
                i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+2], ' '))) as ng
       from u)
-select a.id as id_a, b.id as id_b,
-       round(cast(len(list_intersect(a.ng, b.ng)) as double)
-             / len(list_distinct(list_concat(a.ng, b.ng))), 6) as jaccard
-from g a join g b using (blk)
-where a.id < b.id
-  and cast(len(list_intersect(a.ng, b.ng)) as double)
-      / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.5
+select id_a, id_b, jaccard from (
+  select a.id as id_a, b.id as id_b,
+         round(cast(len(list_intersect(a.ng, b.ng)) as double)
+               / len(list_distinct(list_concat(a.ng, b.ng))), 6) as jaccard
+  from g a join g b using (blk)
+  where a.id < b.id)
+where jaccard >= 0.5
 """
 
 

@@ -28,10 +28,13 @@ def write_conllu(
     """
     sk = conllu_skeleton(sentences)
     (
-        sk.withColumn(
-            "slice", F.pmod(F.xxhash64("doc_id"), F.lit(num_slices))
-        )
-        .repartition(num_slices, "slice")
+        # partition on the full 64-bit hash of doc_id: high-cardinality, so
+        # murmur%n distributes uniformly (pre-bucketing with pmod(...,n) and
+        # re-hashing n distinct values is balls-in-bins: ~1/e empty files).
+        # Hashing — rather than doc_id itself — also keeps this an explicit
+        # REPARTITION_BY_NUM that Catalyst can't elide into the upstream
+        # window exchange (which AQE may coalesce to fewer files).
+        sk.repartition(num_slices, F.xxhash64("doc_id"))
         .sortWithinPartitions("doc_id", "sent_num")
         .select(F.concat(F.col("conllu"), F.lit("\n")).alias("value"))
         .write.mode("overwrite")

@@ -65,6 +65,14 @@ class SnapshotStore:
 
         snap_id = self.current_snapshot_id() + 1
         snap_dir = self.base / f"snap-{snap_id:06d}"
+        if snap_dir.exists():
+            # orphan from a crash between the dir rename and the commit-record
+            # write: no commit references it (readers never saw it), and this
+            # is a single-writer store — reclaim the slot so commits never
+            # wedge on ENOTEMPTY
+            import shutil
+
+            shutil.rmtree(snap_dir)
         os.rename(staging, snap_dir)  # atomic on POSIX
 
         rec = {
@@ -127,28 +135,38 @@ def run_resumable_pipeline(
     """
     from puddin_spark.pipeline import lineage_table, quality_pipeline
 
-    todo = store.resume_filter(spark, pages, "url")
-    # global keep-first dedup across runs: a url whose text body was already
-    # processed under another url in a PRIOR commit never reprocesses (the
-    # within-run dedup_first only sees the current todo set). Without this,
-    # urls shadowed by an in-run duplicate are never committed and every
-    # rerun rediscovers them — resume would not be idempotent.
+    # one scan of the commit history serves both anti-joins (url, then
+    # text digest). The digest join is the global keep-first dedup across
+    # runs: a url whose text body was already processed under another url in
+    # a PRIOR commit never reprocesses (the within-run dedup_first only sees
+    # the current todo set) — without it, urls shadowed by an in-run
+    # duplicate would be rediscovered on every rerun and resume would not be
+    # idempotent.
     committed = store.read(spark)
-    if committed is not None and "text_sha" in committed.columns:
-        todo = todo.join(
-            committed.select("text_sha").distinct(),
-            F.sha2(todo["text"], 256) == F.col("text_sha"),
-            "left_anti",
-        )
+    todo = pages
+    seen = None
+    if committed is not None:
+        cols = ["url"] + (["text_sha"] if "text_sha" in committed.columns else [])
+        seen = committed.select(*cols).persist()
+        todo = todo.join(seen.select("url").distinct(), "url", "left_anti")
+        if "text_sha" in cols:
+            todo = todo.join(
+                seen.select("text_sha").distinct(),
+                F.sha2(todo["text"], 256) == F.col("text_sha"),
+                "left_anti",
+            )
     verdicts = quality_pipeline(todo, num_partitions=num_partitions)
     verdicts = verdicts.persist()
-    n_new = verdicts.count()
-    if n_new == 0:
+    try:
+        n_new = verdicts.count()
+        if n_new == 0:
+            return -1, 0
+        lineage = lineage_table(verdicts, num_partitions=num_partitions).withColumn(
+            "snapshot_id", F.lit(store.current_snapshot_id() + 1)
+        )
+        snap_id = store.commit(verdicts, lineage)
+        return snap_id, n_new
+    finally:
         verdicts.unpersist()
-        return -1, 0
-    lineage = lineage_table(verdicts, num_partitions=num_partitions).withColumn(
-        "snapshot_id", F.lit(store.current_snapshot_id() + 1)
-    )
-    snap_id = store.commit(verdicts, lineage)
-    verdicts.unpersist()
-    return snap_id, n_new
+        if seen is not None:
+            seen.unpersist()

@@ -25,7 +25,8 @@ PILE_SCHEMA = T.StructType(
     ]
 )
 
-# pile_set_name -> code (parse_pile.py:37-41 _PILE_SET_CODE_DICT)
+# pile_set_name -> code (parse_pile.py:37-41 _PILE_SET_CODE_DICT); feeds
+# reference_ids.add_raw_ids/add_slice_ids `code=` for reference-id parity
 PILE_SET_CODES = {
     "Gutenberg (PG-19)": "Pgn",
     "Books3": "Bks",
@@ -33,6 +34,12 @@ PILE_SET_CODES = {
     "Pile-CC": "Pcc",
     "OpenWebText2": "Owt",
 }
+
+
+def pile_set_code(subset: str) -> str:
+    """Lowercased reference code for a Pile subset (create_ids uses the
+    lowercase form, parse_pile.py:754)."""
+    return PILE_SET_CODES.get(subset, subset[:3]).lower()
 
 
 def read_pile_jsonl(

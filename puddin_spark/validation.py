@@ -25,15 +25,33 @@ def validate_run(
     *,
     selected_lang: str = "en",
     dedup: bool = True,
+    digest_aware: bool = False,
 ) -> tuple[dict, DataFrame]:
-    """Check verdicts against the pages input they were produced from."""
+    """Check verdicts against the pages input they were produced from.
+
+    digest_aware=True validates an INCREMENTAL store (run_resumable_pipeline
+    output): a url is not 'missing' if its text digest was committed under
+    another url — the store's global keep-first dedup contract.
+    """
     selected = pages.filter(F.col("lang") == selected_lang)
     if dedup:
         selected = dedup_first(selected)
     sel_urls = selected.select("url")
     got_urls = verdicts.select("url")
 
-    missing = sel_urls.join(got_urls, "url", "left_anti").withColumn(
+    not_covered = sel_urls.join(got_urls, "url", "left_anti")
+    if digest_aware and "text_sha" in verdicts.columns:
+        sel_sha = selected.select("url", F.sha2("text", 256).alias("_sha"))
+        not_covered = (
+            not_covered.join(sel_sha, "url")
+            .join(
+                verdicts.select(F.col("text_sha").alias("_sha")).distinct(),
+                "_sha",
+                "left_anti",
+            )
+            .select("url")
+        )
+    missing = not_covered.withColumn(
         "violation", F.lit("missing")  # F10 'missing*' (validate_data_group.py:410-416)
     )
     extra = got_urls.join(sel_urls, "url", "left_anti").withColumn(

@@ -78,3 +78,11 @@ def test_slice_ids_match_demo(spark, sample, limit, n_slices):
         )
         want += [(str(i), str(t), str(o)) for t, o in zip(sdf.text_id, sdf.orig_text_id)]
     assert sorted(got) == sorted(want)
+
+
+def test_pile_set_code_helper():
+    from puddin_spark.sources import pile_set_code
+
+    assert pile_set_code("Pile-CC") == "pcc"
+    assert pile_set_code("OpenWebText2") == "owt"
+    assert pile_set_code("Unknown Set") == "unk"

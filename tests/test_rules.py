@@ -123,3 +123,16 @@ def test_guarded_scrub_equals_unguarded(t):
         r"\1\2\5\6 \3\4", rules.PUNC_ONLY.sub(r"\1\2\3\4\5\6\7\n\n", mid)
     )
     assert rules.scrub(t) == full
+
+
+def test_classify_labels_are_canonical():
+    """Every label classify can emit is in the canonical order list
+    (validate_data_group.py:338-339)."""
+    emitted = {
+        rules.classify(t)
+        for t in [
+            "x <__UNK__> y", "<nowiki>", "a [[p|l}} b", "<b>x</b>",
+            '{"a":{"b":', "x == true", "a_b", "mp4", "a...b",
+        ]
+    }
+    assert None not in emitted and emitted <= set(rules.EXCL_TYPES)

@@ -71,3 +71,23 @@ def test_commit_record_shape(spark, tmp_path):
         (store.base / "_commits" / "000000.json").read_text()
     )
     assert raw == rec
+
+
+def test_commit_recovers_from_crash_between_rename_and_record(spark, tmp_path):
+    """Crash AFTER the snapshot-dir rename but BEFORE the commit-record write
+    leaves snap-<N> on disk with no record. The next commit must reclaim the
+    slot instead of wedging on ENOTEMPTY forever."""
+    store = SnapshotStore(tmp_path / "t")
+    pages = synth_pages_local(spark, 80)
+    run_resumable_pipeline(spark, pages.limit(40), store, num_partitions=2)
+
+    # simulate the partial commit: a full data dir at the NEXT snapshot slot,
+    # no commit record
+    orphan = store.base / "snap-000001" / "data"
+    pages.limit(7).write.parquet(str(orphan))
+    n_before = store.read(spark).count()
+    assert store.read(spark).count() == n_before  # invisible to readers
+
+    snap_id, n_new = run_resumable_pipeline(spark, pages, store, num_partitions=2)
+    assert snap_id == 1 and n_new > 0  # slot reclaimed, commit succeeded
+    assert store.read(spark).select("url").distinct().count() == store.read(spark).count()
