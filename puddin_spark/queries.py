@@ -954,6 +954,87 @@ from r where rnk2 <= 3
 """
 
 
+# lines injected per doc: a shared boilerplate footer for doc_id%3==0|1 and a
+# per-doc unique line, so the line-dedup operator has real work on this corpus
+LINED_DOCS_CASE = """
+concat(text, '\n',
+  case cast(doc_id % 3 as int)
+    when 0 then 'subscribe to our newsletter today'
+    when 1 then 'subscribe to our newsletter today'
+    else 'rare closing remark here'
+  end,
+  '\nunique line ', cast(doc_id as string))
+""".strip()
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-document duplicate-line removal (north_star internal-noise
+    reduction); keeps docs, drops recurring lines, preserves line order."""
+    from puddin_spark.operators.boilerplate import remove_boilerplate_lines
+
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "t", F.expr(LINED_DOCS_CASE)
+    )
+    return remove_boilerplate_lines(d, "doc_id", "t", min_docs=3).select(
+        F.col("id").alias("doc_id"), F.md5("clean_text").alias("clean_md5"),
+        F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+    )
+
+
+O_BOILERPLATE_LINES = f"""
+with aug as (select doc_id, {LINED_DOCS_CASE} as t from documents),
+lines as (
+  select doc_id as id, u.pos, u.line,
+         md5(regexp_replace(trim(lower(u.line)), '\\s+', ' ', 'g')) as line_key
+  from aug,
+       (select unnest(string_split(t, chr(10))) as line,
+               generate_subscripts(string_split(t, chr(10)), 1) as pos) u
+  where trim(u.line) <> ''),
+boiler as (
+  select line_key from lines group by line_key having count(distinct id) >= 3),
+kept as (
+  select * from lines where line_key not in (select line_key from boiler))
+select id as doc_id, md5(string_agg(line, chr(10) order by pos)) as clean_md5,
+       count(*) as n_lines_kept
+from kept group by id
+"""
+
+
+def q_repetition_scores(spark, sf_dir):
+    """Within-document repetition ratio (word-bigram; MassiveText-style)."""
+    from puddin_spark.operators.boilerplate import repetition_ratio_col
+
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "t",
+        F.expr(
+            "case when doc_id % 4 = 0 then concat(text, ' ', text) else text end"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        repetition_ratio_col("t", 2).alias("rep_ratio"),
+        (repetition_ratio_col("t", 2) > 0.2).alias("repetitive"),
+    )
+
+
+O_REPETITION_SCORES = """
+with aug as (
+  select doc_id,
+         case when doc_id % 4 = 0 then text || ' ' || text else text end as t
+  from documents),
+g as (
+  select doc_id,
+         list_transform(range(1, greatest(len(string_split_regex(trim(t), '\\s+')) - 1, 1) + 1),
+                        i -> array_to_string(string_split_regex(trim(t), '\\s+')[i:i+1], ' ')) as grams
+  from aug),
+m as (select doc_id,
+             round(1 - cast(len(list_distinct(grams)) as double) / greatest(len(grams), 1), 6) as rep_ratio
+      from g)
+select doc_id, rep_ratio, rep_ratio > 0.2 as repetitive from m
+"""
+
+
+
 SPARK_QUERIES = {
     "langid_gate": q_langid_gate,
     "classify_battery": q_classify_battery,
@@ -990,6 +1071,8 @@ SPARK_QUERIES = {
     "sentence_stats_rollup": q_sentence_stats_rollup,
     "ann_ivf_topk": q_ann_ivf_topk,
     "salted_rule_counts": q_salted_rule_counts,
+    "boilerplate_lines": q_boilerplate_lines,
+    "repetition_scores": q_repetition_scores,
 }
 
 
@@ -1028,6 +1111,8 @@ def oracle_queries() -> dict[str, str]:
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,
         "ann_ivf_topk": O_ANN_IVF_TOPK,
         "salted_rule_counts": O_SALTED_RULE_COUNTS,
+        "boilerplate_lines": O_BOILERPLATE_LINES,
+        "repetition_scores": O_REPETITION_SCORES,
         # model_langid / model_perplexity: no oracle — model inference is
         # not SQL-expressible; the driver records a rows-only check
     }

@@ -44,3 +44,35 @@ def test_pii_off_preserves_parity_scrub():
     # flag-off path: reference parity scrub unchanged by the PII module
     raw = "Plain text with an email nobody@example.com stays when flag off."
     assert rules.scrub(raw) == raw  # scrub() itself never masks PII
+
+
+def test_boilerplate_line_removal(spark):
+    from puddin_spark.operators.boilerplate import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "real content one\nSubscribe to our newsletter\nmore text"),
+            (2, "other article\nsubscribe   to our NEWSLETTER\nends here"),
+            (3, "third doc\nSubscribe to our newsletter\nunique tail"),
+            (4, "clean document\nnothing shared at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.id: r.clean_text for r in remove_boilerplate_lines(docs, min_docs=2).collect()}
+    # the footer vanishes everywhere (normalization: case + whitespace)
+    assert out[1] == "real content one\nmore text"
+    assert out[2] == "other article\nends here"
+    assert out[3] == "third doc\nunique tail"
+    assert out[4] == "clean document\nnothing shared at all"
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+    from puddin_spark.operators.boilerplate import repetition_ratio_col
+
+    d = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "all words here are different ones")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.r for r in d.select("doc_id", repetition_ratio_col("text").alias("r")).collect()}
+    assert rows[1] > 0.5 and rows[2] == 0.0
