@@ -1035,6 +1035,54 @@ select doc_id, rep_ratio, rep_ratio > 0.2 as repetitive from m
 
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag -> boundary flag ->
+    running sum = session index; per-session rollup. The temporal/window
+    analytics depth check (O1/O4 family)."""
+    e = read_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet naive timestamps read as NTZ in Spark 4: route the epoch
+    # conversion through LTZ (session TZ is UTC, matching DuckDB's epoch())
+    epoch = F.expr("cast(cast(ts as timestamp) as long)")
+    gapped = e.withColumn(
+        "new_sess",
+        F.when(epoch - F.lag(epoch).over(w_user) > 1800, 1).otherwise(0),
+    ).withColumn(
+        "session_ix",
+        F.sum("new_sess").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        gapped.groupBy("user_id", "session_ix")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .withColumn("session_ix", F.col("session_ix").cast("bigint"))
+    )
+
+
+O_EVENTS_SESSIONIZE = """
+with g as (
+  select *,
+         case when epoch(ts) - lag(epoch(ts)) over w > 1800 then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)),
+s as (
+  select *, sum(new_sess) over (partition by user_id order by ts, event_id
+                                rows between unbounded preceding and current row) as session_ix
+  from g)
+select user_id, cast(session_ix as bigint) as session_ix,
+       count(*) as n_events, min(ts) as session_start, max(ts) as session_end,
+       round(sum(value), 4) as total_value
+from s group by user_id, session_ix
+"""
+
+
+
 SPARK_QUERIES = {
     "langid_gate": q_langid_gate,
     "classify_battery": q_classify_battery,
@@ -1073,6 +1121,7 @@ SPARK_QUERIES = {
     "salted_rule_counts": q_salted_rule_counts,
     "boilerplate_lines": q_boilerplate_lines,
     "repetition_scores": q_repetition_scores,
+    "events_sessionize": q_events_sessionize,
 }
 
 
@@ -1113,6 +1162,7 @@ def oracle_queries() -> dict[str, str]:
         "salted_rule_counts": O_SALTED_RULE_COUNTS,
         "boilerplate_lines": O_BOILERPLATE_LINES,
         "repetition_scores": O_REPETITION_SCORES,
+        "events_sessionize": O_EVENTS_SESSIONIZE,
         # model_langid / model_perplexity: no oracle — model inference is
         # not SQL-expressible; the driver records a rows-only check
     }
