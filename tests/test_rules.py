@@ -136,3 +136,21 @@ def test_classify_labels_are_canonical():
         ]
     }
     assert None not in emitted and emitted <= set(rules.EXCL_TYPES)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_transliterate_always_ascii_and_idempotent(t):
+    from puddin_spark.translit import transliterate
+
+    out = transliterate(t)
+    assert out.isascii() or out == ""  # ASCII always (sentinel is ASCII)
+    assert transliterate(out) == out  # idempotent on its own output
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(max_codepoint=127), max_size=200))
+def test_transliterate_ascii_passthrough(t):
+    from puddin_spark.translit import transliterate
+
+    assert transliterate(t) == t
