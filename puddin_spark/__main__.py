@@ -25,6 +25,10 @@ def _pages(spark, path: str, subset: str):
         from puddin_spark.sources import read_pile_jsonl
 
         return read_pile_jsonl(spark, path, subset)
+    if ".warc" in path:
+        from puddin_spark.sources import read_warc
+
+        return read_warc(spark, path)
     return spark.read.parquet(path)
 
 

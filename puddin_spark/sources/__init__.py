@@ -67,3 +67,85 @@ def read_pile_jsonl(
         F.col("text"),
         F.lit("en").alias("lang"),
     )
+
+
+# --- WARC source (Common Crawl's native format) ---
+
+WARC_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def _parse_warc_bytes(data: bytes):
+    """Minimal WARC/1.0 parser: yields (url, iso_ts, html_bytes, text) for
+    each response record. Pure function over one WARC file's bytes (the
+    Common Crawl convention is one gzip member per record; here we handle
+    the concatenated plain form — gzip members are decompressed by the
+    binaryFile reader path below before parsing).
+
+    Text extraction is deliberately crude (strip tags/scripts, collapse
+    whitespace): the quality battery downstream is what decides keep/drop;
+    swap in a real extractor (trafilatura/justext) on a cluster that has it.
+    """
+    import re as _re
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/1.0\r\n", pos)
+        if start < 0:
+            break
+        head_end = data.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            break
+        headers = {}
+        for line in data[start + 10 : head_end].split(b"\r\n"):
+            k, _, v = line.partition(b": ")
+            headers[k.decode("latin-1").lower()] = v.decode("latin-1")
+        length = int(headers.get("content-length", "0"))
+        block = data[head_end + 4 : head_end + 4 + length]
+        # Content-Length bounds the record body — bodies containing the WARC
+        # magic cannot desynchronize the scan
+        pos = head_end + 4 + length
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = headers.get("warc-date", "1970-01-01T00:00:00Z")
+        # the block is an HTTP response: skip its headers
+        _, _, body = block.partition(b"\r\n\r\n")
+        html = (body or block).rstrip(b"\r\n")
+        txt = html.decode("utf-8", errors="replace")
+        txt = _re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", " ", txt)
+        txt = _re.sub(r"(?s)<[^>]+>", " ", txt)
+        txt = _re.sub(r"[ \t\f\v\r]+", " ", txt).strip()
+        yield url, ts, html, txt
+
+
+def read_warc(spark: SparkSession, path: str, lang: str = "en") -> DataFrame:
+    """WARC file(s) -> pages table. One task per file via binaryFile (the
+    standard first approach for .warc.gz, whose gzip members are not
+    block-splittable; at cluster scale parallelism = number of WARC files,
+    which Common Crawl ships ~64k per snapshot)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches):
+        import gzip
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if p.endswith(".gz"):
+                    data = gzip.decompress(data)
+                for url, ts, html, txt in _parse_warc_bytes(data):
+                    t = pd.Timestamp(ts)
+                    if t.tzinfo is not None:
+                        t = t.tz_convert("UTC").tz_localize(None)
+                    rows.append((url, t, html, txt, lang))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA)

@@ -109,3 +109,68 @@ def test_conllu_token_lines(spark):
     assert all(len(t) == 10 and t[2:] == ["_"] * 8 for t in toks)
     assert [t[0] for t in toks] == [str(i + 1) for i in range(len(toks))]
     assert out[2].splitlines()[-1].startswith("3\t!")
+
+
+def _warc_record(url, date, body: bytes) -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    head = (
+        f"WARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\nContent-Length: {len(http)}\r\n"
+    ).encode()
+    return b"WARC/1.0\r\n" + head + b"\r\n" + http + b"\r\n\r\n"
+
+
+def test_warc_source_to_pipeline(spark, tmp_path):
+    import gzip
+
+    from puddin_spark.sources import read_warc
+
+    recs = (
+        _warc_record(
+            "https://a.example/one", "2024-03-01T10:00:00Z",
+            b"<html><head><script>var x=1;</script></head>"
+            b"<body><p>Plain readable article text goes here today.</p></body></html>",
+        )
+        + _warc_record(
+            "https://b.example/two", "2024-03-02T11:30:00Z",
+            b"<html><body>another document with simple words inside</body></html>",
+        )
+    )
+    (tmp_path / "crawl.warc").write_bytes(recs)
+    gz = (
+        recs.replace(b"a.example", b"c.example")
+        .replace(b"b.example", b"d.example")
+        .replace(b"article text", b"third text")
+        .replace(b"simple words", b"fourth words")
+    )
+    (tmp_path / "crawl2.warc.gz").write_bytes(gzip.compress(gz))
+
+    pages = read_warc(spark, str(tmp_path / "*.warc*"))
+    rows = {r.url: r for r in pages.collect()}
+    assert len(rows) == 4  # both plain and gzip files parsed
+    one = rows["https://a.example/one"]
+    assert one.warc_ts.isoformat().startswith("2024-03-01T10:00")
+    assert b"<html>" in bytes(one.html)
+    assert "script" not in one.text and "Plain readable article" in one.text
+
+    # feeds the pipeline unchanged (input_hint schema)
+    v = quality_pipeline(pages, num_partitions=2)
+    got = {r.url: r.keep for r in v.collect()}
+    assert len(got) == 4 and all(got.values())
+
+
+def test_warc_body_containing_magic_does_not_desync(spark, tmp_path):
+    from puddin_spark.sources import read_warc
+
+    evil = _warc_record(
+        "https://e.example/evil", "2024-03-03T00:00:00Z",
+        b"<html><body>quoting the magic WARC/1.0\r\n inside a body</body></html>",
+    ) + _warc_record(
+        "https://f.example/after", "2024-03-04T00:00:00Z",
+        b"<html><body>the record after the evil one still parses</body></html>",
+    )
+    (tmp_path / "evil.warc").write_bytes(evil)
+    rows = {r.url: r.text for r in read_warc(spark, str(tmp_path / "evil.warc")).collect()}
+    assert set(rows) == {"https://e.example/evil", "https://f.example/after"}
+    assert "quoting the magic" in rows["https://e.example/evil"]
+    assert "still parses" in rows["https://f.example/after"]
