@@ -57,7 +57,7 @@ def corpus_mb(spark, pages_path: str) -> float:
     return total / 1e6
 
 
-def run_pipeline_at(cores: int, pages_path: str, repeats: int = 2) -> tuple[int, float]:
+def run_pipeline_at(cores: int, pages_path: str, repeats: int = 3) -> tuple[int, float]:
     """Read pages parquet -> full pipeline -> sink, at local[cores].
     Returns (n_docs_in, best_wall_sec of `repeats`). Fresh SparkSession per
     level; partitions = 4x cores (multiple task waves so stragglers don't
@@ -146,7 +146,7 @@ def main() -> None:
     ).parquet(skew_path)
     spark2.stop()
     ref_cores = CPUS if CPUS in walls else 8  # CPUS<=8 runs reuse the 8-level
-    n_sk, t_sk = run_pipeline_at(ref_cores, skew_path, repeats=2)
+    n_sk, t_sk = run_pipeline_at(ref_cores, skew_path, repeats=2)  # skew: 2 is enough (ratio metric)
     spark3 = get_spark(master="local[4]", app_name="bench_mb")
     mb_sk = corpus_mb(spark3, skew_path)
     spark3.stop()
