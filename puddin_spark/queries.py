@@ -251,11 +251,14 @@ where doc_id not in (select doc_id from documents where doc_id % 7 = 0)
 
 
 def q_slice_assignment(spark, sf_dir):
-    """Fixed-size slicing + hierarchical ids (O1/O2/O3/P5; 50-doc slices)."""
+    """Fixed-size slicing + hierarchical ids (O1/O2/O3/P5; 50-doc slices).
+    Global order comes from the two-phase partition-offset numbering — no
+    single-task sort (reference_ids.with_global_row_number)."""
+    from puddin_spark.reference_ids import with_global_row_number
+
     d = read_table(spark, sf_dir, "documents").filter("lang = 'en'")
-    w = Window.orderBy("doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        with_global_row_number(d, ["doc_id"], rn_col="rn")
         .select(
             "doc_id",
             F.floor((F.col("rn") - 1) / 50).alias("slice_num"),

@@ -24,6 +24,55 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    rn_col: str = "_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row numbers in `order_cols` order WITHOUT a single-task
+    sort — the two-phase O3 scheme (SURVEY.md section 2.7):
+
+      1. range-repartition on the order keys, so partition i holds only keys
+         that sort before everything in partition i+1 (a parallel shuffle);
+      2. count rows per partition (tiny aggregate: one row per partition);
+      3. broadcast the cumulative offsets and add a partition-local
+         row_number — global rank = local rank + partition offset.
+
+    Bit-identical to `row_number().over(Window.orderBy(*order_cols))` when
+    the order keys are unique (all callers here: url / text_id / doc_id),
+    but every stage is embarrassingly parallel — no `Exchange SinglePartition`
+    wall at 10^12 rows.
+
+    The range-partitioned frame is persisted (MEMORY_AND_DISK) so the count
+    pass and the numbering pass see the SAME partition boundaries — Spark's
+    range sampler is not deterministic across separate jobs. At cluster scale
+    pass a thin (key-only) projection and join the numbers back on the key.
+    """
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    parted = parted.withColumn("_gpid", F.spark_partition_id()).persist()
+    counts = sorted(
+        parted.groupBy("_gpid").agg(F.count("*").alias("c")).collect(),
+        key=lambda r: r["_gpid"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_gpid"], acc))
+        acc += r["c"]
+    odf = df.sparkSession.createDataFrame(offsets, "_gpid int, _goff long")
+    w = Window.partitionBy("_gpid").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(odf), "_gpid")
+        .withColumn(rn_col, F.row_number().over(w) + F.col("_goff"))
+        .drop("_gpid", "_goff")
+    )
+
+
 def plan_slices(n: int, limit: int) -> list[int]:
     """Slice sizes for n rows (parse_pile.py:1159-1178, incl. tail halving)."""
     sizes: list[int] = []
@@ -54,8 +103,7 @@ def add_raw_ids(
     """Assign reference raw ids `<code>_<label>_<NN>` in `order_col` order."""
     n = df.count()
     width = len(str(max(n - 1, 0)))
-    w = Window.orderBy(order_col)
-    return df.withColumn("_rn", F.row_number().over(w)).withColumn(
+    return with_global_row_number(df, [order_col]).withColumn(
         "text_id",
         F.expr(
             f"concat('{code}_{label}_', {_zfill('cast(_rn as string)', width)})"
@@ -89,8 +137,7 @@ def add_slice_ids(
     bdf = spark.createDataFrame(
         bounds, "slice_numstr string, start_rn long, end_rn long, pos_width int"
     )
-    w = Window.orderBy("text_id")
-    ranked = kept.withColumn("_rn", F.row_number().over(w)).withColumnRenamed(
+    ranked = with_global_row_number(kept, ["text_id"]).withColumnRenamed(
         "text_id", "orig_text_id"
     )
     joined = ranked.join(

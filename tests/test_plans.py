@@ -52,6 +52,23 @@ def test_exact_dedup_shuffles_digest_not_body(spark):
     assert "sha2" in plan and "hashpartitioning" in plan
 
 
+def test_slice_assignment_no_single_partition_sort(spark):
+    """Global id assignment must be the two-phase partition-offset scheme:
+    no Exchange SinglePartition (the 100-TB straggler wall) anywhere in the
+    plan — ranks come from rangepartitioning + per-partition windows."""
+    plan = _plan(SPARK_QUERIES["slice_assignment"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_reference_ids_no_single_partition_sort(spark):
+    from puddin_spark.reference_ids import add_raw_ids
+
+    d = spark.range(200).selectExpr("concat('u', lpad(cast(id as string), 4, '0')) as url")
+    plan = _plan(add_raw_ids(d, label="test"))
+    assert "SinglePartition" not in plan
+
+
 def test_pipeline_single_exchange(spark):
     """dedup + repartition + UDF must plan exactly ONE shuffle (the explicit
     text-digest repartition also satisfies the window distribution)."""
