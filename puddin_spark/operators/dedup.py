@@ -142,7 +142,8 @@ def minhash_lsh_pairs(
 
 def simhash64(text: str) -> int:
     """Pure-Python 64-bit simhash over whitespace tokens, md5-based (so a SQL
-    oracle can reproduce it). Sign-aggregate of token hash bits."""
+    oracle can reproduce it). Sign-aggregate of token hash bits. This is the
+    readable spec; the UDF below is the vectorized bit-identical twin."""
     acc = [0] * 64
     toks = set(text.split())
     for tok in toks:
@@ -157,9 +158,63 @@ def simhash64(text: str) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+# token -> uint64(first 8 md5 bytes, big-endian); web vocab repeats heavily
+# across batches, so the cache turns md5 into an amortized dict lookup
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 2_000_000
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized simhash: md5 once per *unique* token (cached), then numpy
+    does the 64-bit sign-aggregate — bits = (V x 64) unpacked matrix, per-doc
+    popcounts are row-gather + column sum. Bit-identical to simhash64 (the
+    sign test acc > 0 is equivalent to 2*ones > n_tokens)."""
+    import numpy as np
+
+    tok_sets = [set(t.split()) if isinstance(t, str) else None for t in texts]
+    cache = _TOKEN_HASH_CACHE
+    vocab: dict[str, int] = {}
+    for toks in tok_sets:
+        if not toks:
+            continue
+        for tok in toks:
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
+    if len(cache) > _TOKEN_HASH_CACHE_MAX:
+        cache.clear()
+    hashes = np.empty(len(vocab), dtype=np.uint64)
+    for tok, ix in vocab.items():
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            cache[tok] = h
+        hashes[ix] = h
+    # bits[v, b] = bit b of token v's hash (b = 0 is the LSB, as in simhash64)
+    bits = (
+        (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int32)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(tok_sets), dtype=np.int64)
+    mask = np.ones(len(tok_sets), dtype=bool)
+    for i, toks in enumerate(tok_sets):
+        if toks is None:
+            mask[i] = False
+            continue
+        if not toks:
+            continue
+        idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+        ones = bits[idx].sum(axis=0)
+        sign = 2 * ones > len(toks)  # acc = 2*ones - n > 0
+        u = int(weights[sign].sum(dtype=np.uint64))
+        out[i] = u - (1 << 64) if u >= (1 << 63) else u
+    res = pd.Series(out, index=texts.index, dtype="Int64")
+    res[~mask] = pd.NA
+    return res
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: simhash64(t) if t is not None else None)
+    return _simhash_batch(texts)
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
