@@ -44,12 +44,11 @@ def boilerplate_line_keys(
 def remove_boilerplate_lines(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_docs: int = 2
 ) -> DataFrame:
-    """(id, clean_text) with cross-document duplicate lines removed; line
-    order inside each document is preserved; empty lines are dropped.
-
-    NB: a document whose EVERY line is boilerplate has no output row —
-    callers that need the full id set should left-join this result back
-    onto the input (missing id == fully-boilerplate document)."""
+    """(id, clean_text, n_lines_kept) with cross-document duplicate lines
+    removed; line order inside each document is preserved; empty lines are
+    dropped. Every input document has exactly one output row — a document
+    whose EVERY line is boilerplate comes back with clean_text = '' and
+    n_lines_kept = 0 (the left join below; thin id-only shuffle)."""
     keys = boilerplate_line_keys(df, id_col, text_col, min_docs)
     lines = (
         df.select(
@@ -60,12 +59,18 @@ def remove_boilerplate_lines(
         .withColumn("line_key", F.md5(_norm_line("line")))
     )
     kept = lines.join(keys.select("line_key"), "line_key", "left_anti")
-    return kept.groupBy("id").agg(
+    agged = kept.groupBy("id").agg(
         F.array_join(
             F.expr("transform(array_sort(collect_list(struct(pos, line))), x -> x.line)"),
             "\n",
         ).alias("clean_text"),
         F.count("*").alias("n_lines_kept"),
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(agged, "id", "left_outer").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0).cast("long")).alias("n_lines_kept"),
     )
 
 

@@ -347,16 +347,23 @@ def q_doc_stats_describe(spark, sf_dir):
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
             F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+            F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25_chars"),
             F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+            F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("p75_chars"),
         )
     )
 
 
+# exact linear-interpolation quantiles on both sides (Spark percentile ==
+# DuckDB quantile_cont) — the full pandas describe() surface of
+# statify_puddin.py:281-311 (count/mean/std/min/25%/50%/75%/max)
 O_DOC_STATS_DESCRIBE = """
 select lang, count(*) as n, round(avg(n_chars), 4) as mean_chars,
        min(n_chars) as min_chars, max(n_chars) as max_chars,
        round(stddev_samp(n_chars), 4) as sd_chars,
-       round(quantile_cont(n_chars, 0.5), 4) as median_chars
+       round(quantile_cont(n_chars, 0.25), 4) as p25_chars,
+       round(quantile_cont(n_chars, 0.5), 4) as median_chars,
+       round(quantile_cont(n_chars, 0.75), 4) as p75_chars
 from documents group by lang
 """
 
@@ -996,10 +1003,13 @@ lines as (
 boiler as (
   select line_key from lines group by line_key having count(distinct id) >= 3),
 kept as (
-  select * from lines where line_key not in (select line_key from boiler))
-select id as doc_id, md5(string_agg(line, chr(10) order by pos)) as clean_md5,
-       count(*) as n_lines_kept
-from kept group by id
+  select * from lines where line_key not in (select line_key from boiler)),
+agged as (
+  select id, string_agg(line, chr(10) order by pos) as txt, count(*) as n
+  from kept group by id)
+select d.doc_id, md5(coalesce(a.txt, '')) as clean_md5,
+       coalesce(a.n, 0) as n_lines_kept
+from (select distinct doc_id from aug) d left join agged a on a.id = d.doc_id
 """
 
 

@@ -32,6 +32,27 @@ def test_simhash_vectorized_matches_spec():
             assert v == simhash64(t)
 
 
+def test_boilerplate_fully_boilerplate_doc_retained(spark):
+    """A document whose every line is boilerplate still gets an output row
+    (clean_text='', n_lines_kept=0) — no docs silently vanish."""
+    from puddin_spark.operators.boilerplate import remove_boilerplate_lines
+
+    rows = [
+        (1, "unique one\nsubscribe now"),
+        (2, "unique two\nsubscribe now"),
+        (3, "unique three\nsubscribe now"),
+        (4, "subscribe now"),  # all-boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: (r["clean_text"], r["n_lines_kept"])
+        for r in remove_boilerplate_lines(df, "doc_id", "text", min_docs=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[4] == ("", 0)
+    assert out[1] == ("unique one", 1)
+
+
 def test_simhash_cache_reuse_is_transparent():
     """Second batch with overlapping vocab (cache hits) gives same hashes."""
     from puddin_spark.operators.dedup import _simhash_batch
