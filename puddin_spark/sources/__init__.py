@@ -76,12 +76,18 @@ WARC_PAGES_SCHEMA = (
 )
 
 
-def _parse_warc_bytes(data: bytes):
-    """Minimal WARC/1.0 parser: yields (url, iso_ts, html_bytes, text) for
-    each response record. Pure function over one WARC file's bytes (the
-    Common Crawl convention is one gzip member per record; here we handle
-    the concatenated plain form — gzip members are decompressed by the
-    binaryFile reader path below before parsing).
+_WARC_CHUNK = 1 << 20  # 1 MiB decompressed read granularity
+
+
+def _iter_warc_stream(stream):
+    """Minimal WARC/1.0 parser over a binary file-like: yields
+    (url, iso_ts, html_bytes, text) per response record.
+
+    Streaming: reads _WARC_CHUNK at a time and keeps only the bytes of the
+    record currently being assembled — peak memory is O(largest record), not
+    O(decompressed file) (a multi-GiB .warc.gz member can't OOM an executor).
+    Content-Length bounds each record body, so bodies containing the WARC
+    magic cannot desynchronize the scan.
 
     Text extraction is deliberately crude (strip tags/scripts, collapse
     whitespace): the quality battery downstream is what decides keep/drop;
@@ -89,24 +95,50 @@ def _parse_warc_bytes(data: bytes):
     """
     import re as _re
 
-    pos = 0
-    n = len(data)
-    while pos < n:
-        start = data.find(b"WARC/1.0\r\n", pos)
-        if start < 0:
-            break
-        head_end = data.find(b"\r\n\r\n", start)
-        if head_end < 0:
-            break
+    buf = b""
+    eof = False
+
+    def _fill(need: int) -> bool:
+        # grow buf to >= need bytes; False if the stream ends first
+        nonlocal buf, eof
+        while len(buf) < need and not eof:
+            chunk = stream.read(max(_WARC_CHUNK, need - len(buf)))
+            if not chunk:
+                eof = True
+            else:
+                buf += chunk
+        return len(buf) >= need
+
+    while True:
+        # locate the next record header (discard garbage between records)
+        while True:
+            start = buf.find(b"WARC/1.0\r\n")
+            if start < 0:
+                if eof:
+                    return
+                # keep a tail in case the magic straddles a chunk boundary
+                if len(buf) > 64:
+                    buf = buf[-64:]
+                _fill(len(buf) + _WARC_CHUNK)
+                continue
+            if start > 0:
+                buf = buf[start:]  # drop inter-record garbage
+                start = 0
+            head_end = buf.find(b"\r\n\r\n")
+            if head_end >= 0:
+                break
+            if eof:
+                return
+            _fill(len(buf) + _WARC_CHUNK)
         headers = {}
-        for line in data[start + 10 : head_end].split(b"\r\n"):
+        for line in buf[start + 10 : head_end].split(b"\r\n"):
             k, _, v = line.partition(b": ")
             headers[k.decode("latin-1").lower()] = v.decode("latin-1")
         length = int(headers.get("content-length", "0"))
-        block = data[head_end + 4 : head_end + 4 + length]
-        # Content-Length bounds the record body — bodies containing the WARC
-        # magic cannot desynchronize the scan
-        pos = head_end + 4 + length
+        if not _fill(head_end + 4 + length):
+            return  # truncated final record
+        block = buf[head_end + 4 : head_end + 4 + length]
+        buf = buf[head_end + 4 + length :]
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
@@ -121,6 +153,13 @@ def _parse_warc_bytes(data: bytes):
         yield url, ts, html, txt
 
 
+def _parse_warc_bytes(data: bytes):
+    """Bytes-form convenience wrapper around _iter_warc_stream."""
+    import io
+
+    yield from _iter_warc_stream(io.BytesIO(data))
+
+
 def read_warc(spark: SparkSession, path: str, lang: str = "en") -> DataFrame:
     """WARC file(s) -> pages table. One task per file via binaryFile (the
     standard first approach for .warc.gz, whose gzip members are not
@@ -132,14 +171,17 @@ def read_warc(spark: SparkSession, path: str, lang: str = "en") -> DataFrame:
 
     def parse(batches):
         import gzip
+        import io
 
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if p.endswith(".gz"):
-                    data = gzip.decompress(data)
-                for url, ts, html, txt in _parse_warc_bytes(data):
+                raw = io.BytesIO(bytes(content))
+                # GzipFile streams concatenated members (the Common Crawl
+                # one-member-per-record layout) without ever materializing
+                # the decompressed file — peak memory is one record
+                stream = gzip.GzipFile(fileobj=raw) if p.endswith(".gz") else raw
+                for url, ts, html, txt in _iter_warc_stream(stream):
                     t = pd.Timestamp(ts)
                     if t.tzinfo is not None:
                         t = t.tz_convert("UTC").tz_localize(None)

@@ -159,6 +159,39 @@ def test_warc_source_to_pipeline(spark, tmp_path):
     assert len(got) == 4 and all(got.values())
 
 
+def test_warc_multimember_gz_and_chunked_stream(spark, tmp_path):
+    """Common Crawl layout: one gzip member per record, concatenated.
+    Also drives the streaming parser with a tiny chunk size so records that
+    straddle read-chunk boundaries are reassembled correctly."""
+    import gzip
+    import io
+
+    from puddin_spark import sources
+    from puddin_spark.sources import _iter_warc_stream, read_warc
+
+    recs = [
+        _warc_record(
+            f"https://m.example/{i}", "2024-03-05T00:00:00Z",
+            b"<html><body>member " + str(i).encode() + b" body words " + b"x" * 300 + b"</body></html>",
+        )
+        for i in range(5)
+    ]
+    # each record its own gzip member, concatenated (CC convention)
+    multi = b"".join(gzip.compress(r) for r in recs)
+    (tmp_path / "multi.warc.gz").write_bytes(multi)
+    rows = {r.url for r in read_warc(spark, str(tmp_path / "multi.warc.gz")).collect()}
+    assert rows == {f"https://m.example/{i}" for i in range(5)}
+
+    # chunked streaming: force 7-byte reads through the plain parser
+    old = sources._WARC_CHUNK
+    sources._WARC_CHUNK = 7
+    try:
+        got = [u for u, _, _, _ in _iter_warc_stream(io.BytesIO(b"".join(recs)))]
+    finally:
+        sources._WARC_CHUNK = old
+    assert got == [f"https://m.example/{i}" for i in range(5)]
+
+
 def test_warc_body_containing_magic_does_not_desync(spark, tmp_path):
     from puddin_spark.sources import read_warc
 
