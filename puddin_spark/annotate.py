@@ -1,0 +1,182 @@
+"""Pluggable UD-annotation stage: fills the 10-column CoNLL-U surface.
+
+The reference's entire output format is dependency-parsed CoNLL-U from
+Stanza (parse_pile.py:114-126 loads the pipeline once per process;
+:1443,:1455 run tokenize+pos+lemma+depparse). Stanza is not in this
+container, so this module ships the same *execution shape* with a
+deterministic stand-in:
+
+- RuleAnnotator: suffix-rule UPOS tagger + suffix-strip lemmatizer + a
+  first-verb-root head heuristic. Every decision is a pure function of the
+  token sequence, so a SQL oracle can replay it bit-for-bit (gate
+  `conllu_annotated`).
+- Execution pattern (mirrors models.py): an ITERATOR pandas UDF with a
+  per-executor-process singleton and a `swap_annotator()` seam — drop a real
+  Stanza/UDPipe wrapper in on a cluster that has one. The UDF consumes a
+  pre-tokenized array column (rules.tokenize for pipeline text, whitespace
+  split for the oracle-paired gate) and returns one struct per token, so
+  annotation stays relational until the conllu sink renders lines.
+
+UPOS inventory used: PUNCT NUM DET PRON ADP CCONJ AUX ADV VERB ADJ NOUN.
+Head scheme: root = first VERB, else first AUX, else first non-PUNCT token,
+else token 1; every non-root token attaches to the root with a
+deprel chosen by its UPOS (det/case/cc/aux/advmod/amod/nsubj/nummod/punct/
+obl/conj). Deliberately simple — the point is a real, testable 10-column
+shape with a working swap seam, not parser accuracy.
+"""
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# closed-class lexicons (kept tiny and FROZEN: the DuckDB oracle embeds the
+# same lists — see queries._oracle_annotate; change both together)
+DET_WORDS = ("the", "a", "an", "this", "that", "these", "those")
+PRON_WORDS = ("i", "you", "he", "she", "it", "we", "they", "me", "him",
+              "her", "us", "them", "who", "what")
+ADP_WORDS = ("of", "in", "on", "at", "by", "for", "with", "from", "to",
+             "into", "over", "under", "about")
+CCONJ_WORDS = ("and", "or", "but", "nor", "yet", "so")
+AUX_WORDS = ("is", "are", "was", "were", "be", "been", "being", "am",
+             "has", "have", "had", "do", "does", "did", "will", "would",
+             "can", "could", "shall", "should", "may", "might", "must")
+
+DEPREL_BY_UPOS = {
+    "PUNCT": "punct", "DET": "det", "ADP": "case", "CCONJ": "cc",
+    "AUX": "aux", "ADV": "advmod", "ADJ": "amod", "PRON": "nsubj",
+    "NUM": "nummod", "NOUN": "obl", "VERB": "conj",
+}
+
+_PUNCT_RE = re.compile(r"^[^A-Za-z0-9]+$")
+_NUM_RE = re.compile(r"^[0-9]+([.,][0-9]+)*$")
+
+
+class RuleAnnotator:
+    """Deterministic rule-based UD stand-in (see module docstring). The swap
+    contract is `annotate(tokens) -> list of (ix, form, lemma, upos, head,
+    deprel)` with ix/head 1-based (head 0 = root), which a Stanza wrapper
+    satisfies trivially."""
+
+    def upos(self, form: str) -> str:
+        if _PUNCT_RE.match(form):
+            return "PUNCT"
+        if _NUM_RE.match(form):
+            return "NUM"
+        low = form.lower()
+        if low in DET_WORDS:
+            return "DET"
+        if low in PRON_WORDS:
+            return "PRON"
+        if low in ADP_WORDS:
+            return "ADP"
+        if low in CCONJ_WORDS:
+            return "CCONJ"
+        if low in AUX_WORDS:
+            return "AUX"
+        if len(low) > 3 and low.endswith("ly"):
+            return "ADV"
+        if len(low) > 4 and (low.endswith("ing") or low.endswith("ed")):
+            return "VERB"
+        if len(low) > 4 and low.endswith(("ous", "ful", "ive", "able", "al")):
+            return "ADJ"
+        return "NOUN"
+
+    def lemma(self, form: str, upos: str) -> str:
+        low = form.lower()
+        if upos == "VERB" and low.endswith("ing"):
+            return low[:-3]
+        if upos == "VERB" and low.endswith("ed"):
+            return low[:-2]
+        if upos == "NOUN" and len(low) > 3 and low.endswith("s") and not low.endswith("ss"):
+            return low[:-1]
+        return low
+
+    def annotate(self, tokens: list[str]) -> list[tuple]:
+        tagged = [(form, self.upos(form)) for form in tokens]
+        root_ix = 0
+        for want in ("VERB", "AUX"):
+            root_ix = next((i + 1 for i, (_, u) in enumerate(tagged) if u == want), 0)
+            if root_ix:
+                break
+        if not root_ix:
+            root_ix = next(
+                (i + 1 for i, (_, u) in enumerate(tagged) if u != "PUNCT"), 1
+            )
+        out = []
+        for i, (form, upos) in enumerate(tagged):
+            ix = i + 1
+            head = 0 if ix == root_ix else root_ix
+            deprel = "root" if ix == root_ix else DEPREL_BY_UPOS[upos]
+            out.append((ix, form, self.lemma(form, upos), upos, head, deprel))
+        return out
+
+
+# --- per-executor singleton + swap seam (the heavy-model pattern) ---
+
+_ANNOTATOR: RuleAnnotator | None = None
+
+
+def get_annotator():
+    global _ANNOTATOR
+    if _ANNOTATOR is None:
+        _ANNOTATOR = RuleAnnotator()
+    return _ANNOTATOR
+
+
+def swap_annotator(model) -> None:
+    """Install a different annotator (e.g. a real Stanza wrapper)
+    process-wide; any object with `annotate(tokens) -> rows` works."""
+    global _ANNOTATOR
+    _ANNOTATOR = model
+
+
+TOKEN_ANNO_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("ix", T.IntegerType()),
+            T.StructField("form", T.StringType()),
+            T.StructField("lemma", T.StringType()),
+            T.StructField("upos", T.StringType()),
+            T.StructField("head", T.IntegerType()),
+            T.StructField("deprel", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(TOKEN_ANNO_SCHEMA)
+def annotate_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """tokens array -> annotation structs; iterator form so the annotator
+    loads once per Python worker (the Stanza-singleton execution pattern,
+    parse_pile.py:114-126), then streams Arrow batches."""
+    model = get_annotator()
+    for token_lists in it:
+        yield token_lists.map(
+            lambda toks: model.annotate(list(toks)) if toks is not None else []
+        )
+
+
+def annotate_sentences(
+    sents: DataFrame, tokens_col: str = "tokens", keys: list[str] | None = None
+) -> DataFrame:
+    """Explode annotated tokens to one relational row per token:
+    keys + (tok_ix, form, lemma, upos, head, deprel)."""
+    keys = keys or ["doc_id", "sent_num"]
+    return (
+        sents.withColumn("_anno", annotate_udf(F.col(tokens_col)))
+        .select(*keys, F.explode("_anno").alias("t"))
+        .select(
+            *keys,
+            F.col("t.ix").alias("tok_ix"),
+            F.col("t.form").alias("form"),
+            F.col("t.lemma").alias("lemma"),
+            F.col("t.upos").alias("upos"),
+            F.col("t.head").alias("head"),
+            F.col("t.deprel").alias("deprel"),
+        )
+    )

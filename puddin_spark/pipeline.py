@@ -167,13 +167,17 @@ def sentence_table(verdicts: DataFrame) -> DataFrame:
     )
 
 
-def conllu_skeleton(sentences: DataFrame, with_tokens: bool = False) -> DataFrame:
+def conllu_skeleton(
+    sentences: DataFrame, with_tokens: bool = False, annotated: bool = False
+) -> DataFrame:
     """Render the CoNLL-U comment skeleton per sentence: `# newdoc id` on the
     first sentence of a doc, `# sent_id = <doc>_<n zfilled>` and `# text =`
     (format: parse_pile.py:1496-1515). With with_tokens=True, 10-column token
-    lines follow (FORM filled, annotation columns '_' — the reference used
-    Stanza's dependency parser; per north_star, segmentation + tokenization
-    feed the downstream UD annotator)."""
+    lines follow (FORM filled, annotation columns '_'). With annotated=True,
+    LEMMA/UPOS/HEAD/DEPREL are filled by the pluggable annotator stage
+    (annotate.annotate_udf — the Stanza seam; parse_pile.py:1443,1455),
+    leaving XPOS/FEATS/DEPS/MISC as '_' exactly like the reference's
+    processors=tokenize,pos,lemma,depparse output."""
     w = Window.partitionBy("doc_id")
     with_max = sentences.withColumn("_max_sent", F.max("sent_num").over(w))
     sid = F.concat(
@@ -190,15 +194,26 @@ def conllu_skeleton(sentences: DataFrame, with_tokens: bool = False) -> DataFram
         F.lit("# sent_id = "), sid, F.lit("\n"),
         F.lit("# text = "), F.col("sent_text"),
     ]
-    if with_tokens:
+    if with_tokens or annotated:
         from puddin_spark.udfs import tokenize_udf
 
         with_max = with_max.withColumn("_toks", tokenize_udf("sent_text"))
-        token_lines = F.expr(
-            "concat_ws('\\n', transform(_toks, (tok, i) ->"
-            " concat(cast(i + 1 as string), '\\t', tok,"
-            " '\\t_\\t_\\t_\\t_\\t_\\t_\\t_\\t_')))"
-        )
+        if annotated:
+            from puddin_spark.annotate import annotate_udf
+
+            with_max = with_max.withColumn("_anno", annotate_udf("_toks"))
+            token_lines = F.expr(
+                "concat_ws('\\n', transform(_anno, a ->"
+                " concat(cast(a.ix as string), '\\t', a.form, '\\t', a.lemma,"
+                " '\\t', a.upos, '\\t_\\t_\\t', cast(a.head as string),"
+                " '\\t', a.deprel, '\\t_\\t_')))"
+            )
+        else:
+            token_lines = F.expr(
+                "concat_ws('\\n', transform(_toks, (tok, i) ->"
+                " concat(cast(i + 1 as string), '\\t', tok,"
+                " '\\t_\\t_\\t_\\t_\\t_\\t_\\t_\\t_')))"
+            )
         parts += [F.lit("\n"), token_lines]
     return with_max.select(
         "doc_id",

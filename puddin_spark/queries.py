@@ -1048,6 +1048,145 @@ select doc_id, rep_ratio, rep_ratio > 0.2 as repetitive from m
 
 
 
+def q_conllu_annotated(spark, sf_dir):
+    """The UD-annotation stage (U4/U6 closure): pluggable annotator fills
+    LEMMA/UPOS/HEAD/DEPREL relationally (annotate.py; the Stanza seam). The
+    gate tokenizes by whitespace so the DuckDB oracle replays the identical
+    rule cascade token-for-token."""
+    from puddin_spark.annotate import annotate_sentences
+
+    d = read_table(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+    return annotate_sentences(sents, "tokens", keys=["doc_id"])
+
+
+# the same closed-class lexicons + suffix cascade as annotate.RuleAnnotator
+# (FROZEN together — change both sides in one commit)
+def _oracle_annotate_body() -> str:
+    from puddin_spark.annotate import (
+        ADP_WORDS, AUX_WORDS, CCONJ_WORDS, DET_WORDS, PRON_WORDS,
+    )
+
+    def inlist(words):
+        return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+    return f"""
+toks as (
+  select doc_id, u.ix as tok_ix, u.form
+  from documents,
+       (select unnest(string_split_regex(trim(text), '\\s+')) as form,
+               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) as ix) u),
+tagged as (
+  select doc_id, tok_ix, form,
+    case
+      when regexp_matches(form, '^[^A-Za-z0-9]+$') then 'PUNCT'
+      when regexp_matches(form, '^[0-9]+([.,][0-9]+)*$') then 'NUM'
+      when lower(form) in {inlist(DET_WORDS)} then 'DET'
+      when lower(form) in {inlist(PRON_WORDS)} then 'PRON'
+      when lower(form) in {inlist(ADP_WORDS)} then 'ADP'
+      when lower(form) in {inlist(CCONJ_WORDS)} then 'CCONJ'
+      when lower(form) in {inlist(AUX_WORDS)} then 'AUX'
+      when length(form) > 3 and lower(form) like '%ly' then 'ADV'
+      when length(form) > 4 and (lower(form) like '%ing' or lower(form) like '%ed') then 'VERB'
+      when length(form) > 4 and (lower(form) like '%ous' or lower(form) like '%ful'
+           or lower(form) like '%ive' or lower(form) like '%able'
+           or lower(form) like '%al') then 'ADJ'
+      else 'NOUN'
+    end as upos
+  from toks),
+lemmed as (
+  select *, case
+    when upos = 'VERB' and lower(form) like '%ing' then substr(lower(form), 1, length(form) - 3)
+    when upos = 'VERB' and lower(form) like '%ed' then substr(lower(form), 1, length(form) - 2)
+    when upos = 'NOUN' and length(form) > 3 and lower(form) like '%s'
+         and lower(form) not like '%ss' then substr(lower(form), 1, length(form) - 1)
+    else lower(form) end as lemma
+  from tagged),
+rooted as (
+  select *, cast(coalesce(
+      min(case when upos = 'VERB' then tok_ix end) over (partition by doc_id),
+      min(case when upos = 'AUX' then tok_ix end) over (partition by doc_id),
+      min(case when upos <> 'PUNCT' then tok_ix end) over (partition by doc_id),
+      1) as int) as root_ix
+  from lemmed),
+anno as (
+  select doc_id, cast(tok_ix as int) as tok_ix, form, lemma, upos,
+    cast(case when tok_ix = root_ix then 0 else root_ix end as int) as head,
+    case when tok_ix = root_ix then 'root'
+         else case upos when 'PUNCT' then 'punct' when 'DET' then 'det'
+                        when 'ADP' then 'case' when 'CCONJ' then 'cc'
+                        when 'AUX' then 'aux' when 'ADV' then 'advmod'
+                        when 'ADJ' then 'amod' when 'PRON' then 'nsubj'
+                        when 'NUM' then 'nummod' when 'NOUN' then 'obl'
+                        else 'conj' end
+    end as deprel
+  from rooted)
+"""
+
+
+def _oracle_conllu_annotated() -> str:
+    return f"""
+with {_oracle_annotate_body()}
+select doc_id, tok_ix, form, lemma, upos, head, deprel from anno
+"""
+
+
+def q_lemma_stats_rollup(spark, sf_dir):
+    """Lemma/word-level statistics with the reference's deprel != 'punct'
+    exclusion (statify_puddin.py:267-273,314-321) — unblocked by the
+    annotation stage; hierarchical via ROLLUP (A5)."""
+    from puddin_spark.annotate import annotate_sentences
+
+    d = read_table(spark, sf_dir, "documents")
+    sents = d.select(
+        "lang", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+    toks = annotate_sentences(sents, "tokens", keys=["lang"]).filter(
+        "deprel != 'punct'"
+    )
+    return (
+        toks.rollup("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("lemma").alias("n_lemmas"),
+            F.round(F.avg(F.length("form")), 4).alias("avg_word_len"),
+            F.round(F.avg(F.length("lemma")), 4).alias("avg_lemma_len"),
+            F.sum(F.when(F.col("upos") == "VERB", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_verbs"),
+        )
+        .select(
+            F.coalesce(F.col("lang").cast("string"), F.lit("ALL")).alias("lang"),
+            "n_tokens", "n_lemmas", "avg_word_len", "avg_lemma_len", "n_verbs",
+        )
+    )
+
+
+def _oracle_lemma_stats() -> str:
+    body = _oracle_annotate_body().replace(
+        "select doc_id, u.ix as tok_ix, u.form",
+        "select doc_id, lang, u.ix as tok_ix, u.form",
+    ).replace(
+        "select doc_id, tok_ix, form,\n", "select doc_id, lang, tok_ix, form,\n"
+    ).replace(
+        "select doc_id, cast(tok_ix as int) as tok_ix, form, lemma, upos,",
+        "select doc_id, lang, cast(tok_ix as int) as tok_ix, form, lemma, upos,",
+    )
+    return f"""
+with {body}
+select coalesce(cast(lang as varchar), 'ALL') as lang,
+       count(*) as n_tokens,
+       count(distinct lemma) as n_lemmas,
+       round(avg(length(form)), 4) as avg_word_len,
+       round(avg(length(lemma)), 4) as avg_lemma_len,
+       cast(sum(case when upos = 'VERB' then 1 else 0 end) as bigint) as n_verbs
+from anno where deprel <> 'punct'
+group by rollup(lang)
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): lag -> boundary flag ->
     running sum = session index; per-session rollup. The temporal/window
@@ -1135,6 +1274,8 @@ SPARK_QUERIES = {
     "boilerplate_lines": q_boilerplate_lines,
     "repetition_scores": q_repetition_scores,
     "events_sessionize": q_events_sessionize,
+    "conllu_annotated": q_conllu_annotated,
+    "lemma_stats_rollup": q_lemma_stats_rollup,
 }
 
 
@@ -1176,6 +1317,8 @@ def oracle_queries() -> dict[str, str]:
         "boilerplate_lines": O_BOILERPLATE_LINES,
         "repetition_scores": O_REPETITION_SCORES,
         "events_sessionize": O_EVENTS_SESSIONIZE,
+        "conllu_annotated": _oracle_conllu_annotated(),
+        "lemma_stats_rollup": _oracle_lemma_stats(),
         # model_langid / model_perplexity: no oracle — model inference is
         # not SQL-expressible; the driver records a rows-only check
     }
