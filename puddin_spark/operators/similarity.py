@@ -124,6 +124,84 @@ def srp_candidate_pairs(
     )
 
 
+FIXED_POINT = 1 << 20  # centroid-mean quantization (see train_centroids)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over DataFrame ops, fully deterministic across engines
+    (so the DuckDB gate oracle replays it bit-for-bit):
+
+    - init: the n_centroids vectors with the smallest md5(id) — a seeded
+      "random" sample any SQL engine reproduces (cent_id = 1..n in md5 order);
+    - assign: nearest centroid by cosine (rounded 6 dp, ties to lower
+      cent_id) via broadcast of the tiny centroid table;
+    - update: per-cell per-dim mean computed as an INTEGER sum of
+      fixed-point-quantized values (round(v * 2^20) as bigint). Double sums
+      depend on partition arrival order in Spark; integer sums are
+      order-independent, so the means are exact and reproducible. The lost
+      precision (< 1e-6 per value) is irrelevant to a coarse quantizer.
+    - empty cells keep their previous centroid.
+
+    Returns [(cent_id, vector-as-doubles)] — tiny, intended for broadcast.
+    """
+    spark = corpus.sparkSession
+    init = (
+        corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(i + 1, list(r["nv"])) for i, r in enumerate(init)]
+    dims = len(cents[0][1]) if cents else 0
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cent_id int, cent_v array<double>")
+        w = Window.partitionBy("nid").orderBy(
+            F.col("cos_c").desc(), F.col("cent_id").asc()
+        )
+        assigned = (
+            c.crossJoin(F.broadcast(cdf))
+            .withColumn("cos_c", F.round(cosine_col("nv", "cent_v"), 6))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter("rnk = 1")
+            .select("nid", "nv", F.col("cent_id").alias("cell"))
+        )
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(F.col("nv").cast("array<double>")).alias("dim", "val")
+            )
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("val") * FIXED_POINT).cast("bigint")
+                ).alias("s"),
+                F.count("*").alias("c"),
+            )
+            .withColumn(
+                "mv",
+                F.round(
+                    F.col("s").cast("double") / F.col("c") / float(FIXED_POINT), 6
+                ),
+            )
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in sums:
+            means.setdefault(r["cell"], [0.0] * dims)[r["dim"]] = r["mv"]
+        cents = [(cid, means.get(cid, old)) for cid, old in cents]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,11 +210,12 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
-    n_centroids cells (deterministic centroids = the lowest-id vectors, a
-    seeding any engine can reproduce), then search only the nprobe cells
-    nearest to each query.
+    n_centroids cells, then search only the nprobe cells nearest to each
+    query. Centroids default to train_centroids (deterministic k-means);
+    pass `centroids` to reuse a trained quantizer across queries.
 
     Scale shape: the assignment join broadcasts the tiny centroid table; the
     search join hits only `nprobe/n_centroids` of the corpus per query —
@@ -144,12 +223,12 @@ def ivf_topk(
     touches a bounded slice. Accuracy is approximate by construction; the
     exact baseline is brute_force_topk.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v")
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
+    cents = corpus.sparkSession.createDataFrame(
+        centroids, "cent_id int, cent_v array<double>"
     )
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     w_assign = Window.partitionBy("nid").orderBy(

@@ -931,17 +931,52 @@ def _duck_cos(a: str, b: str) -> str:
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: coarse cells + nprobe search (the scale path; exact
-    baseline is ann_cosine_topk)."""
+    """IVF-style ANN: k-means-trained coarse cells + nprobe search (the
+    scale path; exact baseline is ann_cosine_topk). The quantizer is
+    similarity.train_centroids — deterministic md5-seeded init + 2 Lloyd
+    iterations with fixed-point means, replayed exactly by the oracle."""
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb, emb.filter("vec_id < 5"), k=3, n_centroids=8, nprobe=2
     )
 
 
+def _oracle_kmeans_cents(n_cent: int = 8, iters: int = 2) -> str:
+    """CTE chain c0..c{iters} replicating similarity.train_centroids:
+    md5-ordered init, cosine assignment (round 6, ties to lower cent_id),
+    fixed-point integer-sum means (order-independent, engine-exact)."""
+    ctes = [f"""
+c0 as (
+  select cent_id, cent_v from (
+    select cast(row_number() over (order by md5(cast(vec_id as varchar))) as int) as cent_id,
+           list_transform(embedding, x -> cast(x as double)) as cent_v
+    from embeddings) where cent_id <= {n_cent})"""]
+    for i in range(iters):
+        prev, cur = f"c{i}", f"c{i + 1}"
+        ctes.append(f"""
+asg{i} as (
+  select nid, nv, cent_id as cell from (
+    select e.vec_id as nid, e.embedding as nv, {prev}.cent_id,
+           row_number() over (partition by e.vec_id
+             order by round({_duck_cos('e.embedding', f'{prev}.cent_v')}, 6) desc,
+                      {prev}.cent_id asc) as rnk
+    from embeddings e cross join {prev}) where rnk = 1),
+m{i} as (
+  select cell, u.dim,
+         round(cast(sum(cast(round(cast(u.val as double) * 1048576) as bigint)) as double)
+               / count(*) / 1048576.0, 6) as mv
+  from asg{i}, (select unnest(nv) as val, generate_subscripts(nv, 1) as dim) u
+  group by cell, u.dim),
+{cur} as (
+  select {prev}.cent_id, coalesce(l.v, {prev}.cent_v) as cent_v
+  from {prev} left join (select cell as cent_id, list(mv order by dim) as v
+                         from m{i} group by cell) l using (cent_id))""")
+    return ",".join(ctes)
+
+
 O_ANN_IVF_TOPK = f"""
-with cents as (select vec_id as cent_id, embedding as cent_v
-               from embeddings order by vec_id limit 8),
+with {_oracle_kmeans_cents(8, 2)},
+cents as (select cent_id, cent_v from c2),
 c as (select vec_id as nid, embedding as nv from embeddings),
 ac as (select nid, nv, cent_id, round({_duck_cos('nv', 'cent_v')}, 6) as cos_c
        from c cross join cents),

@@ -53,6 +53,59 @@ def test_boilerplate_fully_boilerplate_doc_retained(spark):
     assert out[1] == ("unique one", 1)
 
 
+def test_ivf_kmeans_recall_beats_first_n_seeding(spark):
+    """On clustered embeddings (the case IVF exists for), k-means-trained
+    centroids give higher recall@k vs brute force than naive first-N
+    seeding, whose centroids all come from one cluster. (On isotropic
+    random vectors cell structure is meaningless and neither seeding is
+    reliably better — hence clustered data here.)"""
+    import random
+
+    from puddin_spark.operators import similarity
+
+    random.seed(11)
+    centers = [[random.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(40):
+            rows.append((vid, [x + random.gauss(0, 0.05) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id % 40 < 3")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(emb, q, k=5, nprobe=2, centroids=cents).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    first_n = [
+        (i + 1, [float(x) for x in r.embedding])
+        for i, r in enumerate(emb.orderBy("vec_id").limit(8).collect())
+    ]
+    trained = similarity.train_centroids(emb, n_centroids=8, iters=3)
+    assert recall(trained) > recall(first_n)
+    assert recall(trained) >= 0.99
+
+
+def test_train_centroids_deterministic(spark):
+    """Same input -> bit-identical centroids across invocations (the gate
+    oracle depends on this; double-sum order is neutralized by the
+    fixed-point integer means)."""
+    from puddin_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = similarity.train_centroids(emb, n_centroids=4, iters=2)
+    b = similarity.train_centroids(emb, n_centroids=4, iters=2)
+    assert a == b
+
+
 def test_simhash_cache_reuse_is_transparent():
     """Second batch with overlapping vocab (cache hits) gives same hashes."""
     from puddin_spark.operators.dedup import _simhash_batch
