@@ -18,11 +18,16 @@ Commit protocol (single-writer, crash-safe):
  1. write data files to  base/_staging/<token>/data        (invisible)
  2. write lineage files to base/_staging/<token>/lineage   (invisible)
  3. atomically rename base/_staging/<token> -> base/snap-<n>
- 4. atomically rename a commit record tmpfile -> base/_commits/<n>.json
+ 4. atomically link(2) a commit record tmpfile -> base/_commits/<n>.json
+    (link fails with EEXIST if another writer landed the same id — the
+    single-writer assumption fails loudly, never by silent clobber)
 
 A snapshot is committed iff its record exists in _commits/; step 3 without
 step 4 is invisible, steps 1-2 without 3 are invisible. Lineage rides the
 same commit, so no phantom lineage rows can exist (SURVEY.md section 7.3).
+Long-lived stores (one commit per streaming micro-batch) are reset to O(1)
+read/commit cost by compact() + gc() — a base snapshot supersedes all
+earlier ones, Iceberg's rewrite_data_files analog.
 """
 from __future__ import annotations
 
@@ -33,6 +38,12 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced on the same snapshot id — the store is
+    single-writer by contract; the loser fails loudly instead of silently
+    clobbering the winner's commit record."""
 
 
 class SnapshotStore:
@@ -49,14 +60,29 @@ class SnapshotStore:
             recs.append(json.loads(p.read_text()))
         return recs
 
+    def _active_commits(self) -> list[dict]:
+        """Commits that contribute to the current table state: everything
+        from the most recent base (compaction) snapshot onward."""
+        recs = self.commits()
+        for i in range(len(recs) - 1, -1, -1):
+            if recs[i].get("base"):
+                return recs[i:]
+        return recs
+
     def current_snapshot_id(self) -> int:
         recs = self.commits()
         return recs[-1]["snapshot_id"] if recs else -1
 
     # --- write path ---
 
-    def commit(self, data: DataFrame, lineage: DataFrame | None = None) -> int:
-        """Atomically append one snapshot (data + optional lineage)."""
+    def commit(
+        self, data: DataFrame, lineage: DataFrame | None = None, *, base: bool = False
+    ) -> int:
+        """Atomically append one snapshot (data + optional lineage).
+        base=True marks a compaction snapshot that supersedes all earlier
+        ones (readers start from the latest base). Raises
+        ConcurrentWriteError if another writer landed the same snapshot id
+        first — link(2) is the O_EXCL of the commit protocol."""
         token = uuid.uuid4().hex
         staging = self.base / "_staging" / token
         data.write.mode("overwrite").parquet(str(staging / "data"))
@@ -65,11 +91,19 @@ class SnapshotStore:
 
         snap_id = self.current_snapshot_id() + 1
         snap_dir = self.base / f"snap-{snap_id:06d}"
+        final = self.base / "_commits" / f"{snap_id:06d}.json"
+        if final.exists():
+            # another writer fully landed this id since we read the log —
+            # fail BEFORE touching its directory (no destructive reclaim)
+            raise ConcurrentWriteError(
+                f"snapshot {snap_id} was committed by another writer; "
+                f"this store is single-writer"
+            )
         if snap_dir.exists():
             # orphan from a crash between the dir rename and the commit-record
-            # write: no commit references it (readers never saw it), and this
-            # is a single-writer store — reclaim the slot so commits never
-            # wedge on ENOTEMPTY
+            # write: no commit references it (checked above), so readers
+            # never saw it — reclaim the slot so commits never wedge on
+            # ENOTEMPTY
             import shutil
 
             shutil.rmtree(snap_dir)
@@ -79,17 +113,61 @@ class SnapshotStore:
             "snapshot_id": snap_id,
             "data_dir": snap_dir.name + "/data",
             "lineage_dir": (snap_dir.name + "/lineage") if lineage is not None else None,
+            "base": base,
         }
         tmp = self.base / "_commits" / f".{snap_id:06d}.json.tmp"
         tmp.write_text(json.dumps(rec))
-        os.rename(tmp, self.base / "_commits" / f"{snap_id:06d}.json")  # atomic
+        try:
+            os.link(tmp, final)  # fails with EEXIST instead of clobbering
+        except FileExistsError:
+            tmp.unlink()
+            raise ConcurrentWriteError(
+                f"snapshot {snap_id} was committed by another writer; "
+                f"this store is single-writer"
+            ) from None
+        tmp.unlink()
         return snap_id
+
+    # --- maintenance ---
+
+    def compact(self, spark: SparkSession) -> int:
+        """Merge every active snapshot into one base snapshot. Long-lived
+        (e.g. streaming foreachBatch) stores accumulate one snapshot per
+        micro-batch; read() unions every directory and commits() re-parses
+        every record, both O(commit count) — compaction resets that to O(1).
+        Returns the new snapshot id, or -1 for an empty store."""
+        data = self.read(spark)
+        if data is None:
+            return -1
+        lineage = self.read_lineage(spark)
+        return self.commit(data, lineage, base=True)
+
+    def gc(self) -> int:
+        """Drop commit records and snapshot directories superseded by the
+        latest base snapshot (plus crash-orphaned staging). Returns the
+        number of snapshot directories removed. Run after compact(); not
+        concurrency-safe with in-flight readers of pre-base snapshots."""
+        import shutil
+
+        active = {rec["snapshot_id"] for rec in self._active_commits()}
+        removed = 0
+        # records first: new readers stop referencing the old dirs
+        for p in sorted((self.base / "_commits").glob("*.json")):
+            if json.loads(p.read_text())["snapshot_id"] not in active:
+                p.unlink()
+        for d in sorted(self.base.glob("snap-*")):
+            if int(d.name.split("-")[1]) not in active:
+                shutil.rmtree(d)
+                removed += 1
+        for d in (self.base / "_staging").iterdir():
+            shutil.rmtree(d)
+        return removed
 
     # --- read path ---
 
     def _dirs(self, kind: str) -> list[str]:
         out = []
-        for rec in self.commits():
+        for rec in self._active_commits():
             d = rec.get(f"{kind}_dir")
             if d:
                 out.append(str(self.base / d))

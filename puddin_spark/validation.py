@@ -26,12 +26,19 @@ def validate_run(
     selected_lang: str = "en",
     dedup: bool = True,
     digest_aware: bool = False,
+    known_fail: DataFrame | None = None,
 ) -> tuple[dict, DataFrame]:
     """Check verdicts against the pages input they were produced from.
 
     digest_aware=True validates an INCREMENTAL store (run_resumable_pipeline
     output): a url is not 'missing' if its text digest was committed under
     another url — the store's global keep-first dedup contract.
+
+    known_fail: previously-triaged violations (url, violation) — the
+    reference's known_fail allowlist (validate_data_group.py:381-419).
+    Matching violations are still reported but flagged known_fail=true and
+    excluded from `by_type` / `ok`, so reruns don't re-alarm on old triage;
+    fresh violations alone decide `ok`.
     """
     selected = pages.filter(F.col("lang") == selected_lang)
     if dedup:
@@ -78,15 +85,32 @@ def validate_run(
         .unionByName(bad_state)
         .unionByName(bad_text)
     )
-    counts = {
-        r["violation"]: r["n"]
-        for r in violations.groupBy("violation").agg(F.count("*").alias("n")).collect()
-    }
+    if known_fail is not None:
+        kf = (
+            known_fail.select("url", "violation")
+            .distinct()
+            .withColumn("known_fail", F.lit(True))
+        )
+        # the allowlist is triage output — small; broadcast-friendly join
+        violations = violations.join(
+            F.broadcast(kf), ["url", "violation"], "left_outer"
+        ).withColumn("known_fail", F.coalesce("known_fail", F.lit(False)))
+    else:
+        violations = violations.withColumn("known_fail", F.lit(False))
+    grouped = (
+        violations.groupBy("violation", "known_fail")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    counts = {r["violation"]: r["n"] for r in grouped if not r["known_fail"]}
+    known_counts = {r["violation"]: r["n"] for r in grouped if r["known_fail"]}
     summary = {
         "n_selected": sel_urls.count(),
         "n_verdicts": got_urls.count(),
         "n_violations": sum(counts.values()),
         "by_type": counts,
+        "known_fail_by_type": known_counts,
+        "n_known_fail": sum(known_counts.values()),
         "ok": not counts,
     }
     return summary, violations

@@ -166,6 +166,32 @@ def test_validation_job(spark, verdicts):
     assert not s2["ok"] and s2["by_type"].get("missing", 0) > 0
 
 
+def test_validation_known_fail_allowlist(spark, verdicts):
+    """validate_data_group.py:381-419 parity: violations fed back as a
+    known_fail allowlist stop alarming on rerun — flagged, counted apart,
+    excluded from `ok`."""
+    from puddin_spark.validation import validate_run
+    from puddin_spark.synth import synth_pages_local
+
+    pages = synth_pages_local(spark, N)
+    broken = verdicts.filter("excl_type is null or excl_type != 'wiki'")
+    s1, v1 = validate_run(pages, broken)
+    assert not s1["ok"] and s1["n_violations"] > 0
+
+    # triage: accept the current violations, rerun -> 0 fresh, ok again
+    allow = v1.select("url", "violation")
+    s2, v2 = validate_run(pages, broken, known_fail=allow)
+    assert s2["ok"] and s2["n_violations"] == 0
+    assert s2["n_known_fail"] == s1["n_violations"]
+    assert v2.filter("not known_fail").count() == 0
+
+    # a NEW violation still alarms through the allowlist
+    worse = broken.filter("excl_type is null or excl_type != 'json'")
+    s3, _ = validate_run(pages, worse, known_fail=allow)
+    assert not s3["ok"] and s3["by_type"].get("missing", 0) > 0
+    assert s3["n_known_fail"] == s1["n_violations"]
+
+
 def test_giant_document_skew(spark):
     """A multi-MB document flows through the Arrow UDF stage without
     stalling the run (north-rule skew case; Arrow batches are row-capped)."""

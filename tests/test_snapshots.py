@@ -73,6 +73,65 @@ def test_commit_record_shape(spark, tmp_path):
     assert raw == rec
 
 
+def test_concurrent_commit_fails_loudly(spark, tmp_path):
+    """Two writers racing on the same snapshot id: the loser must raise
+    ConcurrentWriteError — and must NOT touch the winner's snapshot
+    directory (no destructive reclaim on a committed slot)."""
+    from unittest import mock
+
+    import pytest
+
+    from puddin_spark.snapshots import ConcurrentWriteError
+
+    store = SnapshotStore(tmp_path / "t")
+    pages = synth_pages_local(spark, 40)
+    run_resumable_pipeline(spark, pages.limit(20), store, num_partitions=2)
+
+    # the competing writer fully lands snapshot 1 (record + data dir)
+    winner = {"snapshot_id": 1, "data_dir": "snap-000001/data",
+              "lineage_dir": None, "base": False}
+    (store.base / "_commits" / "000001.json").write_text(json.dumps(winner))
+    marker = store.base / "snap-000001" / "data" / "winner.marker"
+    marker.parent.mkdir(parents=True)
+    marker.write_text("x")
+
+    # (read snapshot 0 directly — the fake winner dir holds no parquet)
+    df = spark.read.parquet(str(store.base / "snap-000000" / "data")).limit(3)
+    # this writer read the log BEFORE the winner landed (stale view)
+    with mock.patch.object(SnapshotStore, "current_snapshot_id", return_value=0):
+        with pytest.raises(ConcurrentWriteError):
+            store.commit(df)
+    assert marker.exists()  # the winner's data survived the losing attempt
+
+
+def test_compact_and_gc(spark, tmp_path):
+    """Many small commits -> one base snapshot; data identical, old dirs and
+    records pruned, resume still idempotent afterwards."""
+    store = SnapshotStore(tmp_path / "t")
+    pages = synth_pages_local(spark, 120).cache()
+    run_resumable_pipeline(spark, pages.limit(40), store, num_partitions=2)
+    run_resumable_pipeline(spark, pages.limit(80), store, num_partitions=2)
+    run_resumable_pipeline(spark, pages, store, num_partitions=2)
+    before = sorted(r.url for r in store.read(spark).select("url").collect())
+    lin_docs = sum(r.n_docs for r in store.read_lineage(spark).collect())
+    assert len(store.commits()) == 3
+
+    snap_id = store.compact(spark)
+    assert snap_id == 3
+    after = sorted(r.url for r in store.read(spark).select("url").collect())
+    assert after == before  # compaction preserves the table bit-for-bit
+    assert sum(r.n_docs for r in store.read_lineage(spark).collect()) == lin_docs
+
+    removed = store.gc()
+    assert removed == 3
+    assert len(store.commits()) == 1 and store.commits()[0]["base"]
+    assert sorted(r.url for r in store.read(spark).select("url").collect()) == before
+
+    # the kill/rerun contract survives compaction: nothing new -> no commit
+    snap2, n2 = run_resumable_pipeline(spark, pages, store, num_partitions=2)
+    assert (snap2, n2) == (-1, 0)
+
+
 def test_commit_recovers_from_crash_between_rename_and_record(spark, tmp_path):
     """Crash AFTER the snapshot-dir rename but BEFORE the commit-record write
     leaves snap-<N> on disk with no record. The next commit must reclaim the
