@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "tpch_q3",
     "events_hourly",
     "sentence_segment",
+    "conllu_annotated",
+    "lemma_stats_rollup",
+    "ann_ivf_topk",
 ]
 
 

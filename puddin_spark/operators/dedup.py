@@ -264,10 +264,22 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.1,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for all pairs within a blocking key.
-    Without a block column this is quadratic — at scale always pass one
-    (e.g. LSH band, source bucket, length bucket)."""
+
+    block_col is effectively required: without one the self-join is a full
+    cross product — O(n^2) pairs, a non-starter beyond a few thousand docs.
+    Pass an LSH band, source bucket, or length bucket; set
+    allow_quadratic=True only for small candidate sets you have already
+    bounded some other way (the call raises otherwise, so the footgun fails
+    at plan time, not three hours into a cluster run)."""
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is quadratic in the row "
+            "count; pass block_col (LSH band / source / length bucket) or "
+            "set allow_quadratic=True for an explicitly bounded input"
+        )
     g = df.select(
         F.col(id_col).alias("id"),
         word_ngrams(text_col, n).alias("ng"),

@@ -106,6 +106,24 @@ def test_train_centroids_deterministic(spark):
     assert a == b
 
 
+def test_ngram_jaccard_requires_blocking(spark):
+    """The quadratic no-block path fails at plan time unless explicitly
+    opted into (footgun guard)."""
+    import pytest
+
+    from puddin_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(df, "doc_id", "text")
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, threshold=0.3, allow_quadratic=True
+    ).collect()
+    assert len(out) == 1
+
+
 def test_simhash_cache_reuse_is_transparent():
     """Second batch with overlapping vocab (cache hits) gives same hashes."""
     from puddin_spark.operators.dedup import _simhash_batch
