@@ -42,6 +42,104 @@ def write_conllu(
     )
 
 
+def conllu_block_violations(block: str) -> list[str]:
+    """Well-formedness checks for ONE CoNLL-U sentence block (the reference
+    repaired malformed blocks and proved the result by pyconll round-trip,
+    fix_pile_textbreaks.py:54-62; this is the output-validity analog for
+    this engine's sink). Returns violation labels, [] when well-formed:
+
+    - comments_after_tokens: a '#' line below a token line
+    - missing_sent_id / missing_text: required comments absent
+    - bad_column_count: token line without exactly 10 tab-separated fields
+    - ids_not_contiguous: token IDs not exactly 1..n in order
+    - bad_head: HEAD not an int in [0, n] (or '_' in skeleton mode)
+    - self_head / no_root / multi_root: head cycle-of-one or root-count
+      violations (annotated blocks only)
+    """
+    out: list[str] = []
+    comments, tokens = [], []
+    seen_token = False
+    for line in block.split("\n"):
+        if not line.strip():
+            continue
+        if line.startswith("#"):
+            comments.append(line)
+            if seen_token:
+                out.append("comments_after_tokens")
+        else:
+            seen_token = True
+            tokens.append(line)
+    if not any(c.startswith("# sent_id = ") for c in comments):
+        out.append("missing_sent_id")
+    if not any(c.startswith("# text = ") for c in comments):
+        out.append("missing_text")
+    ids, heads = [], []
+    for t in tokens:
+        cols = t.split("\t")
+        if len(cols) != 10:
+            out.append("bad_column_count")
+            continue
+        try:
+            ids.append(int(cols[0]))
+        except ValueError:
+            out.append("ids_not_contiguous")
+            continue
+        heads.append(cols[6])
+    if ids and ids != list(range(1, len(ids) + 1)):
+        out.append("ids_not_contiguous")
+    n = len(ids)
+    annotated = any(h != "_" for h in heads)
+    roots = 0
+    for ix, h in zip(ids, heads):
+        if h == "_":
+            continue
+        try:
+            hv = int(h)
+        except ValueError:
+            out.append("bad_head")
+            continue
+        if not (0 <= hv <= n):
+            out.append("bad_head")
+        elif hv == ix:
+            out.append("self_head")
+        elif hv == 0:
+            roots += 1
+    if annotated and roots == 0:
+        out.append("no_root")
+    if annotated and roots > 1:
+        out.append("multi_root")
+    return sorted(set(out))
+
+
+def validate_conllu_output(spark, out_dir: str) -> DataFrame:
+    """Distributed well-formedness scan of a write_conllu output directory:
+    one task per file (wholetext read), blocks split on blank lines, each
+    checked by conllu_block_violations. Returns (file, block_ix, violation)
+    rows — empty means every block in every file is well-formed."""
+    import pandas as pd
+
+    files = spark.read.text(out_dir + "/*.txt", wholetext=True).selectExpr(
+        "value", "_metadata.file_name as file"
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["file"], pdf["value"]):
+                for ix, block in enumerate(content.split("\n\n")):
+                    if not block.strip():
+                        continue
+                    for v in conllu_block_violations(block):
+                        rows.append((fname, ix, v))
+            yield pd.DataFrame(
+                rows, columns=["file", "block_ix", "violation"]
+            )
+
+    return files.mapInPandas(
+        scan, schema="file string, block_ix int, violation string"
+    )
+
+
 def write_lineage_csv(lineage: DataFrame, out_dir: str) -> None:
     """Lineage sidecar as CSV (the reference's slice-info/meta-index CSVs,
     parse_pile.py:1239-1240,1325-1338). Map column flattened for CSV."""

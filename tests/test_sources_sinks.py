@@ -111,6 +111,74 @@ def test_conllu_token_lines(spark):
     assert out[2].splitlines()[-1].startswith("3\t!")
 
 
+def test_conllu_block_violations_unit():
+    from puddin_spark.sinks import conllu_block_violations
+
+    good = (
+        "# newdoc id = d1\n# sent_id = d1_1\n# text = The dog walked.\n"
+        "1\tThe\tthe\tDET\t_\t_\t3\tdet\t_\t_\n"
+        "2\tdog\tdog\tNOUN\t_\t_\t3\tobl\t_\t_\n"
+        "3\twalked\twalk\tVERB\t_\t_\t0\troot\t_\t_\n"
+        "4\t.\t.\tPUNCT\t_\t_\t3\tpunct\t_\t_"
+    )
+    assert conllu_block_violations(good) == []
+    # skeleton mode: '_' heads are legal, no root requirement
+    skel = "# sent_id = d1_1\n# text = x y\n1\tx\t_\t_\t_\t_\t_\t_\t_\t_\n2\ty\t_\t_\t_\t_\t_\t_\t_\t_"
+    assert conllu_block_violations(skel) == []
+    assert "missing_sent_id" in conllu_block_violations("# text = hi\n1\ta\t_\t_\t_\t_\t_\t_\t_\t_")
+    assert "bad_column_count" in conllu_block_violations("# sent_id = s\n# text = t\n1\ta\tb")
+    assert "ids_not_contiguous" in conllu_block_violations(
+        "# sent_id = s\n# text = t\n1\ta\t_\t_\t_\t_\t_\t_\t_\t_\n3\tb\t_\t_\t_\t_\t_\t_\t_\t_"
+    )
+    two_roots = (
+        "# sent_id = s\n# text = t\n"
+        "1\ta\ta\tNOUN\t_\t_\t0\troot\t_\t_\n2\tb\tb\tNOUN\t_\t_\t0\troot\t_\t_"
+    )
+    assert "multi_root" in conllu_block_violations(two_roots)
+    self_head = "# sent_id = s\n# text = t\n1\ta\ta\tNOUN\t_\t_\t1\tdep\t_\t_"
+    got = conllu_block_violations(self_head)
+    assert "self_head" in got and "no_root" in got
+    out_of_range = "# sent_id = s\n# text = t\n1\ta\ta\tNOUN\t_\t_\t9\tdep\t_\t_"
+    assert "bad_head" in conllu_block_violations(out_of_range)
+    assert "comments_after_tokens" in conllu_block_violations(
+        "# sent_id = s\n# text = t\n1\ta\t_\t_\t_\t_\t_\t_\t_\t_\n# stray = 1"
+    )
+
+
+def test_conllu_sink_output_validates(spark, tmp_path):
+    """End-to-end: annotated conllu written by the sink is well-formed; a
+    corrupted file is caught (the fix_pile_textbreaks round-trip analog)."""
+    from puddin_spark.pipeline import conllu_skeleton
+    from puddin_spark.sinks import validate_conllu_output
+
+    sents = spark.createDataFrame(
+        [("d1", 1, "The dog walked home."), ("d1", 2, "It was quickly gone."),
+         ("d2", 1, "Another sentence here.")],
+        "doc_id string, sent_num int, sent_text string",
+    )
+    out = str(tmp_path / "conllu")
+    sk = conllu_skeleton(sents, annotated=True)
+    (sk.repartition(2, F.xxhash64("doc_id"))
+       .sortWithinPartitions("doc_id", "sent_num")
+       .select(F.concat(F.col("conllu"), F.lit("\n")).alias("value"))
+       .write.mode("overwrite").text(out))
+    assert validate_conllu_output(spark, out).count() == 0
+
+    # corrupt one block: merge two columns (tab -> space keeps the file size
+    # identical, so Spark's cached file-status stays valid for the re-read)
+    import pathlib
+
+    f = next(p for p in pathlib.Path(out).glob("part-*.txt") if p.stat().st_size > 0)
+    content = f.read_text()
+    lines = content.split("\n")
+    ix = next(i for i, ln in enumerate(lines) if "\t" in ln)
+    lines[ix] = lines[ix].replace("\t", " ", 1)
+    f.write_text("\n".join(lines))
+    (f.parent / f".{f.name}.crc").unlink()  # stale Hadoop checksum sidecar
+    bad = validate_conllu_output(spark, out).collect()
+    assert any(r.violation == "bad_column_count" for r in bad)
+
+
 def _warc_record(url, date, body: bytes) -> bytes:
     http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
     head = (
