@@ -54,11 +54,30 @@ def cmd_run(args) -> int:
         out["total_docs"] = verdicts.count()
         out["total_keep"] = verdicts.filter("keep").count()
         if args.conllu:
-            write_conllu(
-                sentence_table(verdicts),
-                f"{args.dest}/conllu",
-                num_slices=args.partitions,
-            )
+            sents = sentence_table(verdicts)
+            if args.annotate:
+                # annotated rendering with the reference's F9 contract:
+                # annotation failures drop the whole doc from the conllu
+                # output and flip its verdict post-hoc (parse_pile.py:
+                # 1374-1390,1443-1447)
+                from puddin_spark.pipeline import conllu_with_failures
+                from puddin_spark.sinks import write_conllu_rendered
+                from puddin_spark.snapshots import record_failures
+
+                sk, failures = conllu_with_failures(sents)
+                write_conllu_rendered(
+                    sk, f"{args.dest}/conllu", num_slices=args.partitions
+                )
+                n_fail = failures.count()
+                out["parse_fail_docs"] = n_fail
+                if n_fail:
+                    out["fail_snapshot_id"] = record_failures(
+                        spark, store, failures, num_partitions=args.partitions
+                    )
+            else:
+                write_conllu(
+                    sents, f"{args.dest}/conllu", num_slices=args.partitions
+                )
             out["conllu_dir"] = f"{args.dest}/conllu"
     print(json.dumps(out))
     spark.stop()
@@ -125,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
         if name == "run":
             sp.add_argument("--limit", type=int, default=0)
             sp.add_argument("--conllu", action="store_true")
+            sp.add_argument(
+                "--annotate",
+                action="store_true",
+                help="fill LEMMA/UPOS/HEAD/DEPREL via the pluggable annotator;"
+                " docs whose annotation raises are recorded as excl_type="
+                "'fail' post-hoc (the reference's parse-failure contract)",
+            )
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -161,6 +161,47 @@ def annotate_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         )
 
 
+SAFE_ANNO_SCHEMA = T.StructType(
+    [
+        T.StructField("anno", TOKEN_ANNO_SCHEMA),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def make_annotate_safe_udf(factory=None):
+    """Failure-catching variant of annotate_udf: returns struct(anno, error)
+    per sentence, error null on success. This is the F9 `fail` analog — the
+    reference caught Stanza RuntimeErrors per document and recorded the doc
+    as excluded post-hoc (parse_pile.py:1443-1447,1374-1390); here the catch
+    is per sentence and pipeline.conllu_with_failures lifts it to doc level.
+
+    `factory` (optional, cloudpickled with the UDF closure) builds the
+    annotator; default is the process-singleton get_annotator(). It is
+    called once per TASK — wrap heavy models in a process-level cache like
+    get_annotator does. A test factory can raise on a poison token to
+    exercise the distributed failure path on real workers (where the
+    driver-side swap_annotator cannot reach)."""
+
+    @F.pandas_udf(SAFE_ANNO_SCHEMA)
+    def _safe(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        model = factory() if factory is not None else get_annotator()
+        for token_lists in it:
+            annos, errs = [], []
+            for toks in token_lists:
+                try:
+                    annos.append(
+                        model.annotate(list(toks)) if toks is not None else []
+                    )
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — the catch IS the operator
+                    annos.append([])
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({"anno": annos, "error": errs})
+
+    return _safe
+
+
 def annotate_sentences(
     sents: DataFrame, tokens_col: str = "tokens", keys: list[str] | None = None
 ) -> DataFrame:

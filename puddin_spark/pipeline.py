@@ -167,6 +167,47 @@ def sentence_table(verdicts: DataFrame) -> DataFrame:
     )
 
 
+def conllu_with_failures(
+    sentences: DataFrame, *, annotate_factory=None
+) -> tuple[DataFrame, DataFrame]:
+    """Annotated CoNLL-U rendering with the reference's F9 `fail` semantics:
+    a document where ANY sentence's annotation raises is dropped from the
+    CoNLL-U output entirely and reported in a doc-level failures table —
+    the reference caught Stanza RuntimeErrors and recorded the document as
+    excluded post-hoc (parse_pile.py:1443-1447,1374-1390; pair with
+    snapshots.record_failures to land the verdict flip).
+
+    Returns (conllu_df(doc_id, sent_num, conllu), failures_df(doc_id,
+    excl_type='fail', anno_error)). Both derive from ONE persisted
+    annotation pass (annotation runs once, like the reference's single parse
+    loop); the intermediate is MEMORY_AND_DISK and unpersists with the
+    session.
+    """
+    from pyspark import StorageLevel
+
+    from puddin_spark.annotate import make_annotate_safe_udf
+    from puddin_spark.udfs import tokenize_udf
+
+    safe = make_annotate_safe_udf(annotate_factory)
+    annotated = (
+        sentences.withColumn("_r", safe(tokenize_udf("sent_text")))
+        .select(
+            *sentences.columns,
+            F.col("_r.anno").alias("_anno"),
+            F.col("_r.error").alias("_err"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    failures = (
+        annotated.filter(F.col("_err").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.min("_err").alias("anno_error"))
+        .select("doc_id", F.lit("fail").alias("excl_type"), "anno_error")
+    )
+    ok = annotated.join(failures.select("doc_id"), "doc_id", "left_anti").drop("_err")
+    return conllu_skeleton(ok, annotated=True), failures
+
+
 def conllu_skeleton(
     sentences: DataFrame, with_tokens: bool = False, annotated: bool = False
 ) -> DataFrame:
@@ -197,11 +238,15 @@ def conllu_skeleton(
     if with_tokens or annotated:
         from puddin_spark.udfs import tokenize_udf
 
-        with_max = with_max.withColumn("_toks", tokenize_udf("sent_text"))
         if annotated:
-            from puddin_spark.annotate import annotate_udf
+            # an upstream stage (conllu_with_failures) may have annotated
+            # already — reuse its `_anno` instead of re-running the UDF
+            if "_anno" not in sentences.columns:
+                from puddin_spark.annotate import annotate_udf
 
-            with_max = with_max.withColumn("_anno", annotate_udf("_toks"))
+                with_max = with_max.withColumn(
+                    "_anno", annotate_udf(tokenize_udf("sent_text"))
+                )
             token_lines = F.expr(
                 "concat_ws('\\n', transform(_anno, a ->"
                 " concat(cast(a.ix as string), '\\t', a.form, '\\t', a.lemma,"
@@ -209,6 +254,7 @@ def conllu_skeleton(
                 " '\\t', a.deprel, '\\t_\\t_')))"
             )
         else:
+            with_max = with_max.withColumn("_toks", tokenize_udf("sent_text"))
             token_lines = F.expr(
                 "concat_ws('\\n', transform(_toks, (tok, i) ->"
                 " concat(cast(i + 1 as string), '\\t', tok,"

@@ -26,7 +26,15 @@ def write_conllu(
     Slice assignment is hash(doc_id) — the url-hash partitioning of the
     north rule; every document's sentences land in one file, in order.
     """
-    sk = conllu_skeleton(sentences)
+    write_conllu_rendered(conllu_skeleton(sentences), out_dir, num_slices=num_slices)
+
+
+def write_conllu_rendered(
+    sk: DataFrame, out_dir: str, *, num_slices: int = 32
+) -> None:
+    """Write an already-rendered skeleton table (doc_id, sent_num, conllu) —
+    the shared tail of write_conllu and the annotated-with-failures path
+    (pipeline.conllu_with_failures)."""
     (
         # partition on the full 64-bit hash of doc_id: high-cardinality, so
         # murmur%n distributes uniformly (pre-bucketing with pmod(...,n) and

@@ -197,6 +197,49 @@ class SnapshotStore:
         )
 
 
+def record_failures(
+    spark: SparkSession,
+    store: SnapshotStore,
+    failed: DataFrame,
+    *,
+    excl_type: str = "fail",
+    num_partitions: int = 32,
+) -> int:
+    """Post-hoc doc-level failure recording (F9): the reference appended
+    parse-failure rows to its exclusions table AFTER the parse loop
+    (parse_pile.py:1374-1390). Here the verdict flip (keep -> false,
+    excl_type -> 'fail') lands as a new BASE snapshot — the overwrite-
+    snapshot shape of table formats like Iceberg — so readers see exactly
+    one row per doc and resume semantics are unchanged. Lineage is
+    recomputed from the updated verdicts so rule-hit counts include the
+    failures. Returns the new snapshot id, or -1 if `failed` is empty.
+    """
+    from puddin_spark.pipeline import lineage_table
+
+    verdicts = store.read(spark)
+    if verdicts is None:
+        raise ValueError("record_failures on an empty store")
+    flagged = failed.select("doc_id").distinct().withColumn("_fail", F.lit(True))
+    if flagged.isEmpty():
+        return -1
+    updated = (
+        verdicts.join(F.broadcast(flagged), "doc_id", "left")
+        .withColumn(
+            "keep", F.when(F.col("_fail"), F.lit(False)).otherwise(F.col("keep"))
+        )
+        .withColumn(
+            "excl_type",
+            F.when(F.col("_fail"), F.lit(excl_type)).otherwise(F.col("excl_type")),
+        )
+        .drop("_fail")
+        .select(*verdicts.columns)
+    )
+    lineage = lineage_table(updated, num_partitions=num_partitions).withColumn(
+        "snapshot_id", F.lit(store.current_snapshot_id() + 1)
+    )
+    return store.commit(updated, lineage, base=True)
+
+
 def run_resumable_pipeline(
     spark: SparkSession,
     pages: DataFrame,

@@ -90,3 +90,94 @@ def test_conllu_annotated_rendering(spark):
     the = next(t for t in toks if t[1] == "The")
     assert the[2:4] == ["the", "DET"] and the[7] == "det"
     assert all(t[4] == "_" and t[5] == "_" and t[8] == "_" and t[9] == "_" for t in toks)
+
+
+def test_safe_udf_catches_annotator_errors(spark):
+    """The F9 seam end-to-end on real workers: a poison annotator shipped in
+    the UDF closure raises on one token; the safe UDF converts the raise to
+    a per-sentence error string instead of failing the task."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.annotate import make_annotate_safe_udf
+
+    class Poison:
+        def annotate(self, toks):
+            if "kaboom" in toks:
+                raise RuntimeError("parser exploded")
+            return [(i + 1, t, t, "NOUN", 0 if i == 0 else 1,
+                     "root" if i == 0 else "obl") for i, t in enumerate(toks)]
+
+    safe = make_annotate_safe_udf(Poison)
+    df = spark.createDataFrame(
+        [(["good", "tokens"],), (["a", "kaboom", "b"],)], "toks array<string>"
+    )
+    rows = df.select(safe("toks").alias("r")).collect()
+    ok, bad = rows[0].r, rows[1].r
+    assert ok.error is None and len(ok.anno) == 2
+    assert bad.error == "RuntimeError: parser exploded" and bad.anno == []
+
+
+def test_conllu_with_failures_doc_level(spark):
+    """A doc with ANY failing sentence is dropped from the CoNLL-U output
+    whole and reported once (the reference's per-document parse-fail drop,
+    parse_pile.py:1374-1390)."""
+    from puddin_spark.pipeline import conllu_with_failures
+
+    class Poison:
+        def annotate(self, toks):
+            if "kaboom" in toks:
+                raise RuntimeError("boom")
+            return [(i + 1, t, t.lower(), "NOUN", 0 if i == 0 else 1,
+                     "root" if i == 0 else "obl") for i, t in enumerate(toks)]
+
+    sents = spark.createDataFrame(
+        [("d1", 1, "fine text here."),
+         ("d2", 1, "first sentence fine."),
+         ("d2", 2, "then kaboom happens."),
+         ("d3", 1, "also fine.")],
+        "doc_id string, sent_num int, sent_text string",
+    )
+    sk, failures = conllu_with_failures(sents, annotate_factory=Poison)
+    fr = failures.collect()
+    assert [(r.doc_id, r.excl_type) for r in fr] == [("d2", "fail")]
+    assert "RuntimeError" in fr[0].anno_error
+    out = {r.doc_id for r in sk.select("doc_id").distinct().collect()}
+    assert out == {"d1", "d3"}
+    # surviving docs are fully annotated (10 columns, non-'_' UPOS)
+    block = sk.filter("doc_id = 'd1'").collect()[0].conllu
+    tok = block.splitlines()[3].split("\t")
+    assert len(tok) == 10 and tok[3] == "NOUN"
+
+
+def test_record_failures_flips_verdicts(spark, tmp_path):
+    """Post-hoc F9 recording: keep->false / excl_type->'fail' lands as a
+    base snapshot; row count stable, lineage refreshed."""
+    from puddin_spark.snapshots import SnapshotStore, record_failures, run_resumable_pipeline
+    from puddin_spark.synth import synth_pages_local
+
+    store = SnapshotStore(tmp_path / "v")
+    run_resumable_pipeline(spark, synth_pages_local(spark, 60), store, num_partitions=2)
+    verdicts = store.read(spark)
+    n_total = verdicts.count()
+    victim = verdicts.filter("keep").select("doc_id").limit(1)
+    victim_id = victim.collect()[0].doc_id
+
+    snap = record_failures(spark, store, victim, num_partitions=2)
+    assert snap == store.current_snapshot_id()
+
+    after = store.read(spark)
+    assert after.count() == n_total  # overwrite, not append
+    row = after.filter(after.doc_id == victim_id).collect()[0]
+    assert row.keep is False and row.excl_type == "fail"
+
+    # lineage recomputed: fail appears in rule hit counts
+    lin = store.read_lineage(spark)
+    hits = {}
+    for r in lin.collect():
+        for k, v in r.rule_hit_counts.items():
+            hits[k] = hits.get(k, 0) + v
+    assert hits.get("fail") == 1
+
+    # empty failure set is a no-op (-1, no new snapshot)
+    empty = victim.filter("doc_id is null")
+    assert record_failures(spark, store, empty, num_partitions=2) == -1
