@@ -703,6 +703,69 @@ def _oracle_srp_buckets() -> str:
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the fifth dedup family
+    (exact sha / minhash-LSH / simhash / ngram-jaccard / embedding-cosine).
+    The synthetic embeddings are uniform-random (no organic near-dups), so
+    the query injects deterministic mutants (vec_id+1000000, dim d scaled by
+    1 + 0.001*((d % 7) - 3)) that both engines replay bit-for-bit; candidate
+    pairs come from one 8-plane SRP band (similarity.srp_candidate_pairs —
+    a bucket equi-join, never all-pairs) and are verified by exact cosine
+    >= 0.99. Scale shape: the bucket key is the shuffle key; at 10^12 rows
+    raise num_planes (2^planes buckets) so per-bucket candidate sets stay
+    bounded."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    mutants = emb.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " * (1.0 + 0.001 * cast((i % 7) - 3 as double)))"
+        ).alias("embedding"),
+    )
+    return similarity.srp_candidate_pairs(base.unionAll(mutants), min_cos=0.99)
+
+
+def _oracle_embedding_near_dup() -> str:
+    bits = []
+    for p in range(8):
+        w = (
+            f"(cast((cast(1103515245 as bigint) * (cast(i - 1 as bigint) + 7919 * {p})"
+            f" + 12345) % 1000 as double) / 999.0 - 0.5)"
+        )
+        dot = f"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * {w}))"
+        bits.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
+    cos = (
+        "round(list_sum(list_transform(range(1, len(a.v)+1),"
+        " i -> a.v[i] * c.v[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * c.v[i])))), 6)"
+    )
+    return f"""
+with u as (
+  select vec_id as id,
+         list_transform(range(1, len(embedding)+1),
+                        i -> cast(embedding[i] as double)) as v
+  from embeddings
+  union all
+  select vec_id + 1000000 as id,
+         list_transform(range(1, len(embedding)+1),
+           i -> cast(embedding[i] as double)
+                * (1.0 + 0.001 * cast(((i - 1) % 7) - 3 as double))) as v
+  from embeddings where vec_id % 10 = 0
+),
+b as (select id, v, cast({' + '.join(bits)} as int) as bucket from u)
+select * from (
+  select a.id as id_a, c.id as id_b, a.bucket as bucket, {cos} as cos_sim
+  from b a join b c using (bucket)
+  where a.id < c.id)
+where cos_sim >= 0.99
+"""
+
+
 def q_quality_scores(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return textstats.quality_columns(d, "text").select(
@@ -1294,6 +1357,7 @@ SPARK_QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "srp_buckets": q_srp_buckets,
+    "embedding_near_dup": q_embedding_near_dup,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
@@ -1339,6 +1403,7 @@ def oracle_queries() -> dict[str, str]:
         "ngram_jaccard_pairs": O_NGRAM_JACCARD,
         "ann_cosine_topk": O_ANN_COSINE_TOPK,
         "srp_buckets": _oracle_srp_buckets(),
+        "embedding_near_dup": _oracle_embedding_near_dup(),
         "quality_scores": O_QUALITY_SCORES,
         "token_counts": O_TOKEN_COUNTS,
         "fingerprints": O_FINGERPRINTS,
