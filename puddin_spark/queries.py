@@ -527,6 +527,128 @@ limit 10
 """
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): the 6-table join exercise. Plan
+    shape: nation/region/supplier are broadcast dims; the only shuffles are
+    the orders–lineitem join and the final nation rollup. The "local"
+    predicate (customer and supplier share a nation) rides the join."""
+    r = read_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    n = read_table(spark, sf_dir, "nation")
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+O_TPCH_Q5 = """
+select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey
+join customer on o_custkey = c_custkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where c_nationkey = s_nationkey
+  and r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o_orderdate <  timestamp '1997-01-01 00:00:00'
+group by n_name
+order by revenue desc
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue): pure scan + pushed filter + one global
+    agg — the pushdown showcase (PushedFilters carries all three predicates
+    to the parquet reader)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+O_TPCH_Q6 = """
+select round(sum(l_extendedprice * l_discount), 2) as revenue,
+       count(*) as n_items
+from lineitem
+where l_shipdate >= timestamp '1996-01-01 00:00:00'
+  and l_shipdate <  timestamp '1997-01-01 00:00:00'
+  and l_discount between 0.04 and 0.06
+  and l_quantity < 24
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): aggregate-then-semi-join. The
+    HAVING pre-aggregation runs on lineitem alone (partial agg map-side),
+    and only qualifying orderkeys join back — the cheap side drives."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+O_TPCH_Q18 = """
+with big as (
+  select l_orderkey, round(sum(l_quantity), 2) as total_qty
+  from lineitem group by l_orderkey having round(sum(l_quantity), 2) > 300)
+select c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) as o_totalprice, total_qty
+from big
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+order by o_totalprice desc, o_orderkey
+limit 100
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _neardup_docs(spark, sf_dir), "doc_id", "text",
@@ -1351,6 +1473,9 @@ SPARK_QUERIES = {
     "events_hourly": q_events_hourly,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q18": q_tpch_q18,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_values": q_simhash_values,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1397,6 +1522,9 @@ def oracle_queries() -> dict[str, str]:
         "events_hourly": O_EVENTS_HOURLY,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3": O_TPCH_Q3,
+        "tpch_q5": O_TPCH_Q5,
+        "tpch_q6": O_TPCH_Q6,
+        "tpch_q18": O_TPCH_Q18,
         "minhash_lsh_pairs": _oracle_minhash(),
         "simhash_values": _oracle_simhash_values(),
         "simhash_near_pairs": _oracle_simhash_pairs(),
