@@ -131,3 +131,49 @@ def test_simhash_cache_reuse_is_transparent():
     a = _simhash_batch(pd.Series(["alpha beta gamma", "beta gamma delta"]))
     b = _simhash_batch(pd.Series(["alpha beta gamma", "beta gamma delta"]))
     assert list(a) == list(b)
+
+
+def test_minhash_xxhash64_path_matches_md5_pairs(spark):
+    """The production hash path (xxhash64, one JVM hash per shingle) finds
+    the same verified near-dup pairs as the portable md5 path: candidates
+    may differ per hash family, but exact-Jaccard verification makes the
+    final pair set hash-family-independent whenever LSH recall holds — and
+    on the calibrated mutant corpus (word-3gram jaccard ~0.9 mutant vs
+    ~0.008 random) both families must recall every mutant pair."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    both = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" extra tail words here")).alias("text"),
+        )
+    )
+    kw = dict(num_hashes=16, band_size=2, shingle_k=3,
+              jaccard_threshold=0.5, shingle_mode="word")
+    md5_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(both, "doc_id", "text", **kw).collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            both, "doc_id", "text", hash_impl="xxhash64", **kw
+        ).collect()
+    }
+    assert md5_pairs == xx_pairs
+    # every mutant pairs with its source (the corpus also has a few organic
+    # near-dup texts; those must appear under both hash families too)
+    mutant_pairs = {(a, b) for a, b, _ in md5_pairs if b == a + 1000000}
+    assert len(mutant_pairs) == 120
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(both, "doc_id", "text", hash_impl="sha1", **kw)
