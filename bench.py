@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "stats_rollup",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "embedding_near_dup",
     "events_hourly",
     "sentence_segment",
     "conllu_annotated",

@@ -58,6 +58,98 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+SESSION_OUT_DDL = (
+    "user_id string, session_start timestamp, session_end timestamp,"
+    " n_events bigint"
+)
+SESSION_STATE_DDL = "start_us bigint, end_us bigint, n bigint"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    late: str = "10 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming gap-based sessionization — the custom-stateful-operator
+    form (applyInPandasWithState) of the batch `events_sessionize` gate.
+
+    State per user = the one OPEN session (start_us, end_us, n). Each
+    micro-batch merges its events into the open session with the gap rule;
+    sessions that close inside a batch are emitted immediately, and the last
+    open session is emitted when the event-time watermark passes
+    last_event + gap (EventTimeTimeout), so results are deterministic under
+    any micro-batch slicing of the same input — the streaming analog of the
+    batch lag->boundary->running-sum plan. Late events inside the watermark
+    merge correctly even if they precede the open session (interval union,
+    not forward-only fold); events older than the watermark are dropped by
+    Spark before the operator sees them.
+
+    Scale shape: state is 24 bytes per ACTIVE user (closed sessions leave
+    state), partitioned by user hash — the same shuffle key the batch window
+    uses; no per-event state growth.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _emit(user: str, sessions: list) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield _emit(user, [(s, e, n)])
+            return
+        intervals = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            intervals.extend([int(t.value) // 1000, int(t.value) // 1000, 1] for t in ts)
+        if state.exists:
+            s, e, n = state.get
+            intervals.append([s, e, n])
+        if not intervals:
+            return
+        intervals.sort()
+        merged = [intervals[0]]
+        for iv in intervals[1:]:
+            if iv[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
+            else:
+                merged.append(iv)
+        *closed, last = merged
+        state.update((last[0], last[1], last[2]))
+        # close the open session once the watermark passes last_event + gap
+        state.setTimeoutTimestamp((last[1] + gap_us) // 1000)
+        if closed:
+            yield _emit(user, [tuple(c) for c in closed])
+
+    return (
+        events.withWatermark(ts_col, late)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_DDL,
+            SESSION_STATE_DDL,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_page_counts(
     pages_stream: DataFrame, window: str = "1 hour", late: str = "2 hours"
 ) -> DataFrame:

@@ -66,3 +66,54 @@ def test_windowed_counts_plan(spark, tmp_path):
     # append mode emits only watermark-closed windows; the plan executing
     # with a watermark + window agg is the contract here
     assert spark.table("wpc").columns == ["start", "end", "lang", "n_pages"]
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch closures emit
+    immediately; watermark-passed timeouts close open sessions; batch
+    slicing does not change results (gap rule on event time only)."""
+    import time as _time
+
+    from puddin_spark.streaming import sessionize_stream
+
+    d = tmp_path / "events"
+    d.mkdir()
+    drops = [
+        # f1: u1 two events in one session; u2 one event
+        [("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 10:05:00"),
+         ("u2", "2024-01-01 10:00:00")],
+        # f2: u2 jumps past the gap -> its first session closes in-batch
+        [("u2", "2024-01-01 13:00:00")],
+        # f3: later event advances the watermark past u1's timeout
+        [("u3", "2024-01-01 16:00:00")],
+    ]
+    for i, rows in enumerate(drops):
+        spark.createDataFrame(rows, "user_id string, ts_s string").selectExpr(
+            "user_id", "cast(ts_s as timestamp) as ts"
+        ).coalesce(1).write.mode("append").parquet(str(d))
+        _time.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    events = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    sess = sessionize_stream(events, gap_minutes=30, late="10 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("sessions").collect()
+    }
+    assert ("u1", "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2) in got
+    assert ("u2", "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1) in got
+    # open sessions (u3; u2's 13:00) must NOT have been emitted prematurely
+    assert not any(u == "u3" for u, *_ in got)
