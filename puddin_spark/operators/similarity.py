@@ -12,6 +12,8 @@
 """
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -127,6 +129,44 @@ def srp_candidate_pairs(
 FIXED_POINT = 1 << 20  # centroid-mean quantization (see train_centroids)
 
 
+def _lit_vec_sql(vec: list[float]) -> str:
+    """A double-array literal (string-cast form: repr round-trips any float
+    exactly and avoids literal-syntax edge cases like 1e-05)."""
+    return "array(" + ",".join(f"cast('{x!r}' as double)" for x in vec) + ")"
+
+
+def nearest_cells_expr(
+    vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int = 1
+):
+    """The nprobe nearest centroid ids for each row, as a PURE PROJECTION —
+    no join, no shuffle. The centroid table is tiny and already local
+    (train_centroids collects it), so it is inlined as literals and the
+    argmin runs inside whole-stage codegen. This is the assignment plan that
+    survives 10^12 rows: the former crossJoin + row_number window shuffled
+    the whole corpus once per Lloyd iteration just to rank 8 candidates per
+    row.
+
+    Bit-identical to the window form: cos rounded to 6 dp, ties to the
+    lower cent_id (array_sort on struct(-cos, cid) = order by cos desc,
+    cid asc) — so SQL oracles that replay the window formulation agree.
+    """
+    entries = ",".join(
+        f"named_struct('nc', -round("
+        f"aggregate(zip_with({vec_col}, {_lit_vec_sql(v)},"
+        f" (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+        f" / (sqrt(aggregate(transform({vec_col},"
+        f" x -> cast(x as double) * cast(x as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v))"
+        f" * cast('{math.sqrt(sum(x * x for x in v))!r}' as double)), 6),"
+        f" 'cid', {cid})"
+        for cid, v in centroids
+    )
+    return F.expr(
+        f"transform(slice(array_sort(array({entries})), 1, {nprobe}), s -> s.cid)"
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,
@@ -140,7 +180,8 @@ def train_centroids(
     - init: the n_centroids vectors with the smallest md5(id) — a seeded
       "random" sample any SQL engine reproduces (cent_id = 1..n in md5 order);
     - assign: nearest centroid by cosine (rounded 6 dp, ties to lower
-      cent_id) via broadcast of the tiny centroid table;
+      cent_id) as a shuffle-free projection over inlined centroid literals
+      (nearest_cells_expr);
     - update: per-cell per-dim mean computed as an INTEGER sum of
       fixed-point-quantized values (round(v * 2^20) as bigint). Double sums
       depend on partition arrival order in Spark; integer sums are
@@ -150,7 +191,6 @@ def train_centroids(
 
     Returns [(cent_id, vector-as-doubles)] — tiny, intended for broadcast.
     """
-    spark = corpus.sparkSession
     init = (
         corpus.select(
             F.col(id_col).alias("nid"),
@@ -165,16 +205,10 @@ def train_centroids(
     dims = len(cents[0][1]) if cents else 0
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "cent_id int, cent_v array<double>")
-        w = Window.partitionBy("nid").orderBy(
-            F.col("cos_c").desc(), F.col("cent_id").asc()
-        )
-        assigned = (
-            c.crossJoin(F.broadcast(cdf))
-            .withColumn("cos_c", F.round(cosine_col("nv", "cent_v"), 6))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter("rnk = 1")
-            .select("nid", "nv", F.col("cent_id").alias("cell"))
+        # assignment is a shuffle-free projection (nearest_cells_expr): the
+        # only exchange per Lloyd iteration is the (cell, dim) partial-agg
+        assigned = c.select(
+            "nid", "nv", nearest_cells_expr("nv", cents, 1)[0].alias("cell")
         )
         sums = (
             assigned.select(
@@ -227,30 +261,18 @@ def ivf_topk(
         centroids = train_centroids(
             corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
-    cents = corpus.sparkSession.createDataFrame(
-        centroids, "cent_id int, cent_v array<double>"
-    )
+    # both coarse-quantization steps are shuffle-free projections over the
+    # inlined centroid literals (nearest_cells_expr) — the corpus is never
+    # shuffled for assignment, only for the probe equi-join below
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    w_assign = Window.partitionBy("nid").orderBy(
-        F.col("cos_c").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", F.round(cosine_col("nv", "cent_v"), 6))
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter("rnk = 1")
-        .select("nid", "nv", F.col("cent_id").alias("cell"))
+    assigned = c.select(
+        "nid", "nv", nearest_cells_expr("nv", centroids, 1)[0].alias("cell")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("cos_q").desc(), F.col("cent_id").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("cos_q", F.round(cosine_col("qv", "cent_v"), 6))
-        .withColumn("rnk", F.row_number().over(w_probe))
-        .filter(F.col("rnk") <= nprobe)
-        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(nearest_cells_expr("qv", centroids, nprobe)).alias("cell"),
     )
     w_top = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("nid").asc()
