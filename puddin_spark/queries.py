@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from puddin_spark.operators import dedup, similarity, textstats
-from puddin_spark.operators.multimodal import extract_media_meta
+from puddin_spark.operators.multimodal import extract_media_meta, sample_frames
 from puddin_spark.pipeline import quality_pipeline
 from puddin_spark.udfs import classify_udf, scrub_stage1_udf, segment_udf
 
@@ -985,6 +985,32 @@ from documents
 """
 
 
+def q_media_frames(spark, sf_dir):
+    """Frame-sampling plumbing gate: documents bytes as fake video, every
+    2nd 256-byte frame kept (sample_frames is the row-multiplying
+    mapInPandas shape). Frames compared by sha256 — the corpus is pure
+    ASCII, so the oracle slices the VARCHAR text directly and hashes its
+    utf-8 bytes (identical to Spark hashing the binary slice)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    fr = sample_frames(d, every_n=2, frame_bytes=256)
+    return fr.select(
+        "doc_id", "frame_ix", "ts_ms", F.sha2("frame", 256).alias("frame_sha")
+    )
+
+
+O_MEDIA_FRAMES = """
+with f as (
+  select doc_id, cast(ix as int) as frame_ix, cast(ix * 40 as int) as ts_ms,
+         substring(text, cast(ix * 256 + 1 as bigint), 256) as chunk
+  from documents, range(0, 64) t(ix)
+  where ix * 256 < length(text))
+select doc_id, frame_ix, ts_ms, sha256(chunk) as frame_sha
+from f where frame_ix % 2 = 0
+"""
+
+
 def q_sentence_segment(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return (
@@ -1488,6 +1514,7 @@ SPARK_QUERIES = {
     "fingerprints": q_fingerprints,
     "langid_heuristic": q_langid_heuristic,
     "multimodal_meta": q_multimodal_meta,
+    "media_frames": q_media_frames,
     "sentence_segment": q_sentence_segment,
     "pii_scrub": q_pii_scrub,
     "model_langid": q_model_langid,
@@ -1537,6 +1564,7 @@ def oracle_queries() -> dict[str, str]:
         "fingerprints": O_FINGERPRINTS,
         "langid_heuristic": O_LANGID_HEURISTIC,
         "multimodal_meta": O_MULTIMODAL_META,
+        "media_frames": O_MEDIA_FRAMES,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

@@ -177,3 +177,55 @@ def test_minhash_xxhash64_path_matches_md5_pairs(spark):
 
     with pytest.raises(ValueError):
         minhash_lsh_pairs(both, "doc_id", "text", hash_impl="sha1", **kw)
+
+
+def test_multimodal_frame_resize_embed_plumbing(spark):
+    """The three media plumbing shapes: row-multiplying frame sampling
+    (with tail frame), binary->binary resize (size contract), and
+    binary->embedding feature extraction composing with the similarity
+    operators (equal media -> cosine 1.0 near-dup pair)."""
+    from puddin_spark.operators.multimodal import (
+        embed_media, embed_media_real, extract_frames_real, resize_image_real,
+        resize_images, sample_frames,
+    )
+    from puddin_spark.operators.similarity import srp_candidate_pairs
+
+    media = spark.createDataFrame(
+        [(1, b"a" * 600), (2, b"b" * 256), (3, b"a" * 600), (4, None)],
+        "doc_id bigint, media binary",
+    )
+
+    # frames: 600 bytes -> 3 frames (256, 256, 88-byte tail); every_n=1
+    fr = sample_frames(media, frame_bytes=256).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    assert 4 not in by_doc  # null media contributes no rows
+    tail = sorted(by_doc[1], key=lambda r: r.frame_ix)[-1]
+    assert tail.ts_ms == 80 and len(bytes(tail.frame)) == 600 - 512
+    # every_n=2 keeps frames 0 and 2
+    fr2 = sample_frames(media, frame_bytes=256, every_n=2).collect()
+    assert sorted(r.frame_ix for r in fr2 if r.doc_id == 1) == [0, 2]
+
+    # resize: exact width*height bytes, deterministic
+    rs = {r.doc_id: r for r in resize_images(media, width=8, height=4).collect()}
+    assert len(bytes(rs[1].pixels)) == 32
+    assert bytes(rs[1].pixels) == bytes(rs[3].pixels)  # same media, same pixels
+    assert rs[4].pixels is None
+
+    # embed: equal media -> identical embeddings -> exact-duplicate pair
+    emb = embed_media(media.filter("media is not null"), dim=16)
+    pairs = srp_candidate_pairs(emb, min_cos=0.999).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 3)}
+
+    # real seams stay honest
+    import pytest
+
+    for fn, args in [
+        (extract_frames_real, (b"x", 256)),
+        (resize_image_real, (b"x", 2, 2)),
+        (embed_media_real, (b"x", 8)),
+    ]:
+        with pytest.raises(NotImplementedError):
+            fn(*args)
