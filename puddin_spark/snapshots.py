@@ -60,10 +60,18 @@ class SnapshotStore:
             recs.append(json.loads(p.read_text()))
         return recs
 
-    def _active_commits(self) -> list[dict]:
-        """Commits that contribute to the current table state: everything
-        from the most recent base (compaction) snapshot onward."""
+    def _active_commits(self, as_of: int | None = None) -> list[dict]:
+        """Commits that contribute to the table state AS OF the given
+        snapshot id (default: latest): everything from the most recent base
+        (compaction) snapshot at-or-before `as_of` onward, up to `as_of` —
+        the Iceberg time-travel read (`VERSION AS OF`). Commits are
+        immutable, so any historical state remains readable until gc()
+        drops pre-base snapshots."""
         recs = self.commits()
+        if as_of is not None:
+            recs = [r for r in recs if r["snapshot_id"] <= as_of]
+            if not recs or recs[-1]["snapshot_id"] != as_of:
+                raise ValueError(f"no committed snapshot {as_of}")
         for i in range(len(recs) - 1, -1, -1):
             if recs[i].get("base"):
                 return recs[i:]
@@ -165,20 +173,24 @@ class SnapshotStore:
 
     # --- read path ---
 
-    def _dirs(self, kind: str) -> list[str]:
+    def _dirs(self, kind: str, as_of: int | None = None) -> list[str]:
         out = []
-        for rec in self._active_commits():
+        for rec in self._active_commits(as_of):
             d = rec.get(f"{kind}_dir")
             if d:
                 out.append(str(self.base / d))
         return out
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self._dirs("data")
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame | None:
+        """Current table state, or — with as_of — the state as of that
+        snapshot id (time travel; raises on an unknown/gc'd id)."""
+        dirs = self._dirs("data", as_of)
         return spark.read.parquet(*dirs) if dirs else None
 
-    def read_lineage(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self._dirs("lineage")
+    def read_lineage(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> DataFrame | None:
+        dirs = self._dirs("lineage", as_of)
         return spark.read.parquet(*dirs) if dirs else None
 
     # --- resume ---

@@ -150,3 +150,32 @@ def test_commit_recovers_from_crash_between_rename_and_record(spark, tmp_path):
     snap_id, n_new = run_resumable_pipeline(spark, pages, store, num_partitions=2)
     assert snap_id == 1 and n_new > 0  # slot reclaimed, commit succeeded
     assert store.read(spark).select("url").distinct().count() == store.read(spark).count()
+
+
+def test_time_travel_read(spark, tmp_path):
+    """read(as_of=snap) returns the exact historical state: append commits
+    stack, a base (overwrite) commit supersedes only from its id onward,
+    and unknown ids fail loudly."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(tmp_path / "v")
+    pages = synth_pages_local(spark, 90).cache()
+    run_resumable_pipeline(spark, pages.limit(40), store, num_partitions=2)
+    n0 = store.read(spark, as_of=0).count()
+    run_resumable_pipeline(spark, pages, store, num_partitions=2)
+
+    assert store.read(spark, as_of=0).count() == n0       # history unchanged
+    assert store.read(spark).count() > n0                 # latest sees both
+    assert store.read(spark, as_of=1).count() == store.read(spark).count()
+
+    # a base commit (e.g. record_failures overwrite) defines state from its
+    # id onward; as_of before it still unions the pre-base appends
+    flipped = store.read(spark).withColumn("keep", F.lit(False))
+    store.commit(flipped, base=True)
+    assert store.read(spark, as_of=2).filter("keep").count() == 0
+    assert store.read(spark, as_of=1).filter("keep").count() > 0
+
+    with pytest.raises(ValueError):
+        store.read(spark, as_of=99)
