@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "tpch_q6",
     "tpch_q18",
     "embedding_near_dup",
+    "media_frames",
     "events_hourly",
     "sentence_segment",
     "conllu_annotated",
