@@ -150,6 +150,15 @@ class SnapshotStore:
         lineage = self.read_lineage(spark)
         return self.commit(data, lineage, base=True)
 
+    def rollback(self, spark: SparkSession, to_snapshot: int) -> int:
+        """Restore the table to a historical state by committing it as a new
+        BASE snapshot (Iceberg's rollback: history moves forward, data moves
+        back). Earlier states stay readable via read(as_of=...) until gc().
+        Returns the new snapshot id."""
+        data = self.read(spark, as_of=to_snapshot)
+        lineage = self.read_lineage(spark, as_of=to_snapshot)
+        return self.commit(data, lineage, base=True)
+
     def gc(self) -> int:
         """Drop commit records and snapshot directories superseded by the
         latest base snapshot (plus crash-orphaned staging). Returns the

@@ -78,3 +78,42 @@ def test_pipeline_single_exchange(spark):
 
     v = quality_pipeline(synth_pages_local(spark, 100), num_partitions=4)
     assert count_exchanges(v) == 1
+
+
+def test_embedding_near_dup_is_bucket_join_not_cartesian(spark):
+    """Near-dup candidates must come from the SRP-bucket equi-join — a
+    cartesian/nested-loop pair generation would be the 10^12-row disaster."""
+    plan = _plan(SPARK_QUERIES["embedding_near_dup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_is_projection_not_join(spark):
+    """Coarse quantization (nearest centroid) runs as an inlined-literal
+    projection: the ONLY joins in the plan are the probe equi-join on the
+    cell key — no corpus-vs-centroid join survives."""
+    plan = _plan(SPARK_QUERIES["ann_ivf_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # join count: exactly the probe equi-join (any hash-join flavor)
+    n_joins = plan.count("Join")
+    assert n_joins <= 2, plan[:2000]
+
+
+def test_media_frames_prunes_to_text(spark):
+    """The frame gate fabricates media from text: the scan must read only
+    (doc_id, text) — no other document columns reach the Python stage."""
+    plan = _plan(SPARK_QUERIES["media_frames"](spark, SF))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_tpch_q6_full_pushdown(spark):
+    """All three predicates reach the parquet reader; only the 4 needed
+    columns are read (of 11)."""
+    import re
+
+    plan = _plan(SPARK_QUERIES["tpch_q6"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan
+    scan = re.search(r"FileScan parquet \[([^\]]*)\]", plan).group(1)
+    cols = {c.split("#")[0] for c in scan.split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}

@@ -179,3 +179,26 @@ def test_time_travel_read(spark, tmp_path):
 
     with pytest.raises(ValueError):
         store.read(spark, as_of=99)
+
+
+def test_rollback_restores_historical_state(spark, tmp_path):
+    """rollback(to) = forward-history base commit of a past state (the
+    Iceberg rollback shape): reads see the old data, history stays
+    readable, resume semantics continue from the restored state."""
+    store = SnapshotStore(tmp_path / "v")
+    pages = synth_pages_local(spark, 90).cache()
+    run_resumable_pipeline(spark, pages.limit(40), store, num_partitions=2)
+    n0 = store.read(spark).count()
+    run_resumable_pipeline(spark, pages, store, num_partitions=2)
+    n1 = store.read(spark).count()
+    assert n1 > n0
+
+    new_id = store.rollback(spark, 0)
+    assert new_id == 2
+    assert store.read(spark).count() == n0            # data moved back
+    assert store.read(spark, as_of=1).count() == n1   # history intact
+
+    # resume after rollback reprocesses exactly the rolled-back docs
+    snap, n_re = run_resumable_pipeline(spark, pages, store, num_partitions=2)
+    assert snap == 3 and n_re == n1 - n0
+    assert store.read(spark).count() == n1

@@ -275,3 +275,32 @@ def test_warc_body_containing_magic_does_not_desync(spark, tmp_path):
     assert set(rows) == {"https://e.example/evil", "https://f.example/after"}
     assert "quoting the magic" in rows["https://e.example/evil"]
     assert "still parses" in rows["https://f.example/after"]
+
+
+def test_conllu_rendering_always_validates_property(spark):
+    """Property: whatever text goes in, the annotated rendering produces
+    well-formed blocks (driver-side check on the rendered strings, no file
+    round trip — pairs with test_conllu_sink_output_validates for the e2e
+    path). Hypothesis drives adversarial sentence shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from puddin_spark.pipeline import conllu_skeleton
+    from puddin_spark.sinks import conllu_block_violations
+
+    # printable-ish sentences incl. unicode, tabs excluded (a raw tab in a
+    # FORM would break the 10-column contract at the tokenizer boundary)
+    sent = st.text(
+        alphabet=st.characters(blacklist_characters="\t\n\r", blacklist_categories=("Cs",)),
+        min_size=1, max_size=60,
+    ).filter(lambda s: s.strip())
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(sent, min_size=1, max_size=4))
+    def prop(sents):
+        rows = [("d1", i + 1, s) for i, s in enumerate(sents)]
+        df = spark.createDataFrame(rows, "doc_id string, sent_num int, sent_text string")
+        for r in conllu_skeleton(df, annotated=True).collect():
+            assert conllu_block_violations(r.conllu) == [], r.conllu
+
+    prop()
