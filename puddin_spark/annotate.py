@@ -19,10 +19,12 @@ deterministic stand-in:
 
 UPOS inventory used: PUNCT NUM DET PRON ADP CCONJ AUX ADV VERB ADJ NOUN.
 Head scheme: root = first VERB, else first AUX, else first non-PUNCT token,
-else token 1; every non-root token attaches to the root with a
-deprel chosen by its UPOS (det/case/cc/aux/advmod/amod/nsubj/nummod/punct/
-obl/conj). Deliberately simple — the point is a real, testable 10-column
-shape with a working swap seam, not parser accuracy.
+else token 1; DET/ADJ/NUM/ADP attach to the NEXT NOUN (the UD det/amod/
+nummod/case shape, falling back to the root when no noun follows); every
+other non-root token attaches to the root. Deprels come from UPOS (det/
+case/cc/aux/advmod/amod/nsubj/nummod/punct/obl/conj). Deliberately simple —
+the point is a real, testable 10-column shape with a working swap seam, not
+parser accuracy.
 """
 from __future__ import annotations
 
@@ -98,6 +100,7 @@ class RuleAnnotator:
 
     def annotate(self, tokens: list[str]) -> list[tuple]:
         tagged = [(form, self.upos(form)) for form in tokens]
+        n = len(tagged)
         root_ix = 0
         for want in ("VERB", "AUX"):
             root_ix = next((i + 1 for i, (_, u) in enumerate(tagged) if u == want), 0)
@@ -107,11 +110,28 @@ class RuleAnnotator:
             root_ix = next(
                 (i + 1 for i, (_, u) in enumerate(tagged) if u != "PUNCT"), 1
             )
+        # nominal attachment: next_noun[ix] = the first NOUN strictly after
+        # ix (0 if none) — DET/ADJ/NUM attach to the noun they modify and
+        # ADP to the noun it case-marks (the UD det/amod/nummod/case shape);
+        # everything else attaches to the root. Acyclic by construction:
+        # nominal attachers are never NOUN, and NOUNs attach to the root.
+        next_noun = [0] * (n + 1)
+        nn = 0
+        for i in range(n, 0, -1):
+            next_noun[i] = nn
+            if tagged[i - 1][1] == "NOUN":
+                nn = i
         out = []
         for i, (form, upos) in enumerate(tagged):
             ix = i + 1
-            head = 0 if ix == root_ix else root_ix
-            deprel = "root" if ix == root_ix else DEPREL_BY_UPOS[upos]
+            if ix == root_ix:
+                head, deprel = 0, "root"
+            else:
+                if upos in ("DET", "ADJ", "NUM", "ADP") and next_noun[ix]:
+                    head = next_noun[ix]
+                else:
+                    head = root_ix
+                deprel = DEPREL_BY_UPOS[upos]
             out.append((ix, form, self.lemma(form, upos), upos, head, deprel))
         return out
 

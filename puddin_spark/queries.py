@@ -1355,11 +1355,17 @@ rooted as (
       min(case when upos = 'VERB' then tok_ix end) over (partition by doc_id),
       min(case when upos = 'AUX' then tok_ix end) over (partition by doc_id),
       min(case when upos <> 'PUNCT' then tok_ix end) over (partition by doc_id),
-      1) as int) as root_ix
+      1) as int) as root_ix,
+    min(case when upos = 'NOUN' then tok_ix end) over (
+      partition by doc_id order by tok_ix
+      rows between 1 following and unbounded following) as next_noun
   from lemmed),
 anno as (
   select doc_id, cast(tok_ix as int) as tok_ix, form, lemma, upos,
-    cast(case when tok_ix = root_ix then 0 else root_ix end as int) as head,
+    cast(case when tok_ix = root_ix then 0
+              when upos in ('DET', 'ADJ', 'NUM', 'ADP')
+                   and next_noun is not null then next_noun
+              else root_ix end as int) as head,
     case when tok_ix = root_ix then 'root'
          else case upos when 'PUNCT' then 'punct' when 'DET' then 'det'
                         when 'ADP' then 'case' when 'CCONJ' then 'cc'

@@ -37,8 +37,12 @@ def test_head_scheme_first_verb_root():
     rows = a.annotate(["the", "dog", "walked", "quickly", "."])
     by_ix = {r[0]: r for r in rows}
     assert by_ix[3][5] == "root" and by_ix[3][4] == 0  # walked = root
-    assert by_ix[1] == (1, "the", "the", "DET", 3, "det")
+    assert by_ix[1] == (1, "the", "the", "DET", 2, "det")  # det -> next noun
+    assert by_ix[2] == (2, "dog", "dog", "NOUN", 3, "obl")
     assert by_ix[5] == (5, ".", ".", "PUNCT", 3, "punct")
+    # no noun follows -> nominal attachers fall back to the root
+    rows = a.annotate(["dog", "walked", "the"])
+    assert rows[2] == (3, "the", "the", "DET", 2, "det")
 
 
 def test_root_fallbacks():
