@@ -89,6 +89,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     shingle_mode: str = "word",
     hash_impl: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash, verified by exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -102,6 +103,17 @@ def minhash_lsh_pairs(
     Scale shape: signatures are tiny (k hex strings), band explode multiplies
     rows by num_bands, the self-join shuffles ONLY (id, band) on band hash,
     and only deduped candidates ever touch the shingle arrays again.
+
+    max_bucket guards the degenerate-bucket blowup: a band bucket of size m
+    contributes m^2/2 candidate pairs, so ONE hot bucket (boilerplate-heavy
+    corpora collapse many docs into identical minhash bands — observed here
+    with char shingles) turns the join quadratic. Buckets larger than
+    max_bucket are dropped from candidate generation (standard practice at
+    scale; recall cost is bounded because a true near-dup pair colliding
+    only in hot buckets is, by construction, near-duplicate to *every*
+    member of that bucket — revisit such buckets with exact grouping
+    instead). None = no cap (exact LSH semantics; what the oracle-paired
+    gate uses).
     """
     num_bands = num_hashes // band_size
     sh = (
@@ -136,6 +148,15 @@ def minhash_lsh_pairs(
         "id",
         F.posexplode(F.array(*band_cols)).alias("band_ix", "band_key"),
     )
+    if max_bucket is not None:
+        # window count over the join key: one pass, same shuffle the join
+        # needs anyway; hot buckets never reach pair generation
+        wb = Window.partitionBy("band_ix", "band_key")
+        bands = (
+            bands.withColumn("_bn", F.count("*").over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     left = bands.select(F.col("id").alias("id_a"), "band_ix", "band_key")
     right = bands.select(F.col("id").alias("id_b"), "band_ix", "band_key")
     cand = (

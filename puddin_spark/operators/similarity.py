@@ -108,13 +108,24 @@ def srp_candidate_pairs(
     vec_col: str = "embedding",
     num_planes: int = 8,
     min_cos: float = 0.0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """ANN candidate pairs: same SRP bucket, verified by exact cosine."""
+    """ANN candidate pairs: same SRP bucket, verified by exact cosine.
+    max_bucket drops degenerate buckets from pair generation (a bucket of m
+    vectors contributes m^2/2 pairs — see minhash_lsh_pairs for the scale
+    rationale); None keeps exact LSH semantics."""
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         srp_bucket_col(vec_col, num_planes).alias("bucket"),
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("_bn", F.count("*").over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
     c = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
     return (

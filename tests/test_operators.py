@@ -229,3 +229,39 @@ def test_multimodal_frame_resize_embed_plumbing(spark):
     ]:
         with pytest.raises(NotImplementedError):
             fn(*args)
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """max_bucket drops degenerate buckets from pair generation: char
+    shingles on this word-soup corpus collapse many docs into identical
+    minhash bands (the observed quadratic footgun), so capping bucket size
+    must cut candidate pairs while uncapped keeps exact LSH semantics."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.operators.dedup import minhash_lsh_pairs
+    from puddin_spark.operators.similarity import srp_candidate_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    kw = dict(num_hashes=16, band_size=2, shingle_k=5,
+              jaccard_threshold=0.0, shingle_mode="char")
+    uncapped = minhash_lsh_pairs(docs, "doc_id", "text", **kw).count()
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=4, **kw).count()
+    assert uncapped > capped  # hot char-shingle buckets really exist here
+
+    # word shingles don't degenerate: a generous cap changes nothing
+    kw2 = dict(num_hashes=16, band_size=2, shingle_k=3,
+               jaccard_threshold=0.5, shingle_mode="word")
+    base = {(r.id_a, r.id_b) for r in
+            minhash_lsh_pairs(docs, "doc_id", "text", **kw2).collect()}
+    same = {(r.id_a, r.id_b) for r in
+            minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=1000, **kw2).collect()}
+    assert base == same
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    all_pairs = srp_candidate_pairs(emb).count()
+    few = srp_candidate_pairs(emb, max_bucket=2).count()
+    assert few < all_pairs
