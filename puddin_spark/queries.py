@@ -338,32 +338,25 @@ from documents group by rollup(lang, source)
 
 
 def q_doc_stats_describe(spark, sf_dir):
-    return (
-        read_table(spark, sf_dir, "documents")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
-            F.min("n_chars").alias("min_chars"),
-            F.max("n_chars").alias("max_chars"),
-            F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
-            F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25_chars"),
-            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
-            F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("p75_chars"),
-        )
+    from puddin_spark.stats import describe_numeric
+
+    return describe_numeric(
+        read_table(spark, sf_dir, "documents"), "n_chars", ["lang"]
     )
 
 
 # exact linear-interpolation quantiles on both sides (Spark percentile ==
 # DuckDB quantile_cont) — the full pandas describe() surface of
-# statify_puddin.py:281-311 (count/mean/std/min/25%/50%/75%/max)
+# statify_puddin.py:281-311 (count/mean/std/min/25%/50%/75%/max).
+# stats.describe_numeric(approx=True) is the bounded-memory sketch variant
+# for the 100 TB path (not SQL-oracle-expressible; pytest-toleranced).
 O_DOC_STATS_DESCRIBE = """
-select lang, count(*) as n, round(avg(n_chars), 4) as mean_chars,
-       min(n_chars) as min_chars, max(n_chars) as max_chars,
-       round(stddev_samp(n_chars), 4) as sd_chars,
-       round(quantile_cont(n_chars, 0.25), 4) as p25_chars,
-       round(quantile_cont(n_chars, 0.5), 4) as median_chars,
-       round(quantile_cont(n_chars, 0.75), 4) as p75_chars
+select lang, count(*) as n, round(avg(n_chars), 4) as mean_n_chars,
+       min(n_chars) as min_n_chars, max(n_chars) as max_n_chars,
+       round(stddev_samp(n_chars), 4) as sd_n_chars,
+       round(quantile_cont(n_chars, 0.25), 4) as p25_n_chars,
+       round(quantile_cont(n_chars, 0.5), 4) as median_n_chars,
+       round(quantile_cont(n_chars, 0.75), 4) as p75_n_chars
 from documents group by lang
 """
 

@@ -53,3 +53,37 @@ def hierarchical_stats(
             "avg_word_len",
         )
     )
+
+
+def describe_numeric(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    *,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The pandas-describe() surface (count/mean/std/min/p25/p50/p75/max;
+    statify_puddin.py:281-311) per group.
+
+    approx=False uses exact linear-interpolation `percentile` — what the
+    DuckDB-paired gate grades (== quantile_cont), but it collects every
+    group's values on one reducer, which at 10^12 rows per group is the
+    memory wall. approx=True swaps in `percentile_approx` (a bounded-size
+    quantile sketch that merges map-side): error <= 1/accuracy in rank
+    terms, constant memory per group — the 100 TB path. Column names are
+    identical so downstream code is agnostic.
+    """
+    by = by or []
+    q = "percentile_approx" if approx else "percentile"
+    acc = f", {accuracy}" if approx else ""
+    return df.groupBy(*by).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(value_col), 4).alias(f"mean_{value_col}"),
+        F.min(value_col).alias(f"min_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+        F.round(F.stddev_samp(value_col), 4).alias(f"sd_{value_col}"),
+        F.round(F.expr(f"{q}({value_col}, 0.25{acc})"), 4).alias(f"p25_{value_col}"),
+        F.round(F.expr(f"{q}({value_col}, 0.5{acc})"), 4).alias(f"median_{value_col}"),
+        F.round(F.expr(f"{q}({value_col}, 0.75{acc})"), 4).alias(f"p75_{value_col}"),
+    )

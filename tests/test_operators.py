@@ -265,3 +265,25 @@ def test_lsh_hot_bucket_guard(spark):
     all_pairs = srp_candidate_pairs(emb).count()
     few = srp_candidate_pairs(emb, max_bucket=2).count()
     assert few < all_pairs
+
+
+def test_describe_approx_sketch_matches_exact_within_rank_error(spark):
+    """The approx (bounded-memory sketch) describe path tracks the exact
+    path: identical schema, exact fields identical, quantiles within the
+    sketch's rank-error bound at accuracy=10000 on 500 values (tight)."""
+    from puddin_spark.stats import describe_numeric
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r.lang: r for r in describe_numeric(docs, "n_chars", ["lang"]).collect()}
+    approx = {r.lang: r for r in
+              describe_numeric(docs, "n_chars", ["lang"], approx=True).collect()}
+    assert exact.keys() == approx.keys()
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert (a.n, a.mean_n_chars, a.min_n_chars, a.max_n_chars, a.sd_n_chars) == (
+            e.n, e.mean_n_chars, e.min_n_chars, e.max_n_chars, e.sd_n_chars
+        )
+        for f in ("p25_n_chars", "median_n_chars", "p75_n_chars"):
+            # rank error <= 1/accuracy -> at most the adjacent order stat;
+            # value tolerance: the observed spread of neighboring n_chars
+            assert abs(getattr(a, f) - getattr(e, f)) <= 30, (lang, f)
