@@ -129,10 +129,60 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_overview(args) -> int:
+    """Store/run overview (the reference's file_overview.py surface):
+    snapshot log, per-snapshot doc counts, on-disk sizes — no Spark job
+    for the log itself, one count per snapshot for the data."""
+    import os
+
+    from puddin_spark.session import get_spark
+    from puddin_spark.snapshots import SnapshotStore
+
+    store = SnapshotStore(f"{args.dest}/verdicts")
+    recs = store.commits()
+    if not recs:
+        print(json.dumps({"snapshots": [], "error": "no committed snapshots"}))
+        return 2
+    spark = get_spark(master=args.master, app_name="puddin_spark.overview")
+    out = []
+    for rec in recs:
+        d = store.base / rec["data_dir"]
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+        )
+        out.append(
+            {
+                "snapshot_id": rec["snapshot_id"],
+                "base": bool(rec.get("base")),
+                "n_docs": spark.read.parquet(str(d)).count(),
+                "bytes": size,
+            }
+        )
+    current = store.read(spark)
+    print(
+        json.dumps(
+            {
+                "snapshots": out,
+                "current_snapshot_id": store.current_snapshot_id(),
+                "current_docs": current.count(),
+                "current_keep": current.filter("keep").count(),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="puddin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name, fn in [("run", cmd_run), ("validate", cmd_validate), ("stats", cmd_stats)]:
+    for name, fn in [
+        ("run", cmd_run),
+        ("validate", cmd_validate),
+        ("stats", cmd_stats),
+        ("overview", cmd_overview),
+    ]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("-d", "--dest", required=True)

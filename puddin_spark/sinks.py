@@ -148,6 +148,40 @@ def validate_conllu_output(spark, out_dir: str) -> DataFrame:
     )
 
 
+def reconcile_conllu_output(
+    spark, verdicts: DataFrame, out_dir: str
+) -> DataFrame:
+    """Completeness reconciliation between the conllu sink and the verdict
+    table — the analog of the reference's empty-conllu cleanup + doc-id
+    confirmation (remove_empties.py, confirm_doc_ids.py): every kept doc
+    must appear exactly once as a `# newdoc id` block, and no dropped or
+    unknown doc may appear. Returns (doc_id, status) rows with status in
+    {missing_from_output, not_kept_but_present, duplicated_in_output};
+    empty result = the output is exactly the kept set. Distributed: the
+    output scan is a line filter + substring (no wholetext), both
+    comparisons are anti/semi joins on doc_id."""
+    emitted = (
+        spark.read.text(out_dir + "/*.txt")
+        .filter(F.col("value").startswith("# newdoc id = "))
+        .select(
+            F.expr("substring(value, 15)").alias("doc_id")
+        )
+    )
+    kept = verdicts.filter("keep").select("doc_id")
+    counts = emitted.groupBy("doc_id").count()
+    missing = kept.join(emitted, "doc_id", "left_anti").select(
+        "doc_id", F.lit("missing_from_output").alias("status")
+    )
+    extra = (
+        counts.join(kept, "doc_id", "left_anti")
+        .select("doc_id", F.lit("not_kept_but_present").alias("status"))
+    )
+    dupes = counts.filter("count > 1").select(
+        "doc_id", F.lit("duplicated_in_output").alias("status")
+    )
+    return missing.unionByName(extra).unionByName(dupes)
+
+
 def write_lineage_csv(lineage: DataFrame, out_dir: str) -> None:
     """Lineage sidecar as CSV (the reference's slice-info/meta-index CSVs,
     parse_pile.py:1239-1240,1325-1338). Map column flattened for CSV."""

@@ -304,3 +304,36 @@ def test_conllu_rendering_always_validates_property(spark):
             assert conllu_block_violations(r.conllu) == [], r.conllu
 
     prop()
+
+
+def test_reconcile_conllu_output(spark, tmp_path):
+    """Reconciliation catches a missing kept doc and an alien block
+    (remove_empties.py / confirm_doc_ids.py analog for the sink)."""
+    from puddin_spark.sinks import reconcile_conllu_output, write_conllu
+
+    sents = spark.createDataFrame(
+        [("d1", 1, "First doc text."), ("d2", 1, "Second doc text.")],
+        "doc_id string, sent_num int, sent_text string",
+    )
+    verdicts = spark.createDataFrame(
+        [("d1", True), ("d2", True), ("d3", True), ("d4", False)],
+        "doc_id string, keep boolean",
+    )
+    out = str(tmp_path / "c")
+    write_conllu(sents, out, num_slices=2)
+
+    got = {(r.doc_id, r.status) for r in
+           reconcile_conllu_output(spark, verdicts, out).collect()}
+    # d3 is kept but was never rendered; d4 is dropped and absent (fine)
+    assert got == {("d3", "missing_from_output")}
+
+    # alien + duplicate block appear in the output -> flagged
+    import pathlib
+
+    f = next(p for p in pathlib.Path(out).glob("part-*.txt"))
+    extra = "# newdoc id = d9\n# sent_id = d9_1\n# text = x\n\n"
+    f.with_name("part-extra.txt").write_text(extra + extra)
+    got2 = {(r.doc_id, r.status) for r in
+            reconcile_conllu_output(spark, verdicts, out).collect()}
+    assert ("d9", "not_kept_but_present") in got2
+    assert ("d9", "duplicated_in_output") in got2
