@@ -161,6 +161,38 @@ select label, count(*) as n from lab group by label
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot (long -> wide): per-user event-type counts as columns. The
+    explicit value list matters at scale — pivot without one runs an extra
+    distinct-collect job over the full table to discover the columns."""
+    e = read_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+O_EVENTS_PIVOT = f"""
+select user_id,
+  {", ".join(
+      f"cast(count(case when event_type = '{t}' then 1 end) as bigint) as n_{t}"
+      for t in EVENT_TYPES
+  )}
+from events group by user_id
+"""
+
+
 def q_scrub_urls(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents").withColumn(
         "t",
@@ -1496,6 +1528,7 @@ SPARK_QUERIES = {
     "union_accumulate": q_union_accumulate,
     "top_event_per_user": q_top_event_per_user,
     "events_hourly": q_events_hourly,
+    "events_pivot": q_events_pivot,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1546,6 +1579,7 @@ def oracle_queries() -> dict[str, str]:
         "union_accumulate": O_UNION_ACCUMULATE,
         "top_event_per_user": O_TOP_EVENT_PER_USER,
         "events_hourly": O_EVENTS_HOURLY,
+        "events_pivot": O_EVENTS_PIVOT,
         "tpch_q1": O_TPCH_Q1,
         "tpch_q3": O_TPCH_Q3,
         "tpch_q5": O_TPCH_Q5,

@@ -148,6 +148,33 @@ def validate_conllu_output(spark, out_dir: str) -> DataFrame:
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    *,
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) table write — the co-located-join
+    layout: two tables written with the SAME bucket count and keys equi-join
+    with ZERO exchange (and zero per-task sort when sort_cols cover the join
+    key), because Spark trusts the on-disk hash distribution. This is the
+    pre-shuffle you buy once at write time and reuse on every downstream
+    join/aggregation over the key — at 10^12 rows, the difference between
+    re-shuffling the corpus per query and never shuffling it again.
+
+    Requires a session catalog (in-memory catalog works for local runs; a
+    metastore on a cluster). Plan proof: tests/test_plans.py asserts the
+    bucketed self-join plan contains no Exchange.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def reconcile_conllu_output(
     spark, verdicts: DataFrame, out_dir: str
 ) -> DataFrame:

@@ -117,3 +117,35 @@ def test_tpch_q6_full_pushdown(spark):
     scan = re.search(r"FileScan parquet \[([^\]]*)\]", plan).group(1)
     cols = {c.split("#")[0] for c in scan.split(",")}
     assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-located join via bucketing: both sides written with the same
+    bucket spec join with ZERO Exchange (the buy-the-shuffle-once layout);
+    the unbucketed control plan shuffles both sides."""
+    from puddin_spark.sinks import write_bucketed
+
+    spark.sql(f"create database if not exists bktest location '{tmp_path}'")
+    docs = spark.range(0, 2000).selectExpr(
+        "cast(id as string) as doc_id", "id % 7 as score"
+    )
+    stats = spark.range(0, 2000).selectExpr(
+        "cast(id as string) as doc_id", "id % 13 as n_tokens"
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(docs, "bktest.docs", ["doc_id"], num_buckets=4,
+                       sort_cols=["doc_id"])
+        write_bucketed(stats, "bktest.stats", ["doc_id"], num_buckets=4,
+                       sort_cols=["doc_id"])
+        joined = spark.table("bktest.docs").join(spark.table("bktest.stats"), "doc_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() == 2000
+
+        control = docs.join(stats, "doc_id")
+        assert "Exchange" in _plan(control)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("drop database bktest cascade")
