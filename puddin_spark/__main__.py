@@ -97,9 +97,19 @@ def cmd_validate(args) -> int:
         print(json.dumps({"ok": False, "error": "no committed verdicts"}))
         spark.stop()
         return 2
+    known = None
+    if args.known_fail:
+        # previously-triaged violations (url, violation) — csv or parquet;
+        # the reference's known_fail allowlist surface
+        if args.known_fail.endswith(".csv"):
+            known = spark.read.option("header", True).csv(args.known_fail)
+        else:
+            known = spark.read.parquet(args.known_fail)
     # incremental stores dedup globally by text digest: a url shadowed by a
     # committed duplicate text is covered, not missing
-    summary, _ = validate_run(pages, verdicts, dedup=False, digest_aware=True)
+    summary, _ = validate_run(
+        pages, verdicts, dedup=False, digest_aware=True, known_fail=known
+    )
     print(json.dumps(summary))
     spark.stop()
     return 0 if summary["ok"] else 1
@@ -191,6 +201,13 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--subset", default="Pile-CC")
         if name in ("run", "validate"):
             sp.add_argument("-i", "--input", required=True)
+        if name == "validate":
+            sp.add_argument(
+                "--known-fail",
+                default=None,
+                help="csv/parquet of triaged (url, violation) rows; matching"
+                " violations are flagged known_fail and don't fail the run",
+            )
         if name == "run":
             sp.add_argument("--limit", type=int, default=0)
             sp.add_argument("--conllu", action="store_true")

@@ -46,3 +46,51 @@ def test_cli_run_validate_stats(tmp_path):
 def test_cli_stats_without_store(tmp_path):
     code, out = _run(["stats", "-d", str(tmp_path / "nothing"), "--master", "local[4]"])
     assert code == 2 and "error" in out
+
+
+JSONL2 = "/root/reference/demo/data/pile/sample-2.jsonl"
+
+
+def test_cli_validate_known_fail_and_overview(tmp_path):
+    """validate --known-fail: triaged violations flagged separately and
+    excluded from ok; overview prints the snapshot log."""
+    dest = str(tmp_path / "out")
+    code, out = _run(
+        ["run", "-i", JSONL, "-d", dest, "--partitions", "2", "--master", "local[4]"]
+    )
+    assert code == 0 and out["new_docs"] == 12
+
+    # wrong input -> fresh violations, rc 1
+    code, v1 = _run(
+        ["validate", "-i", JSONL2, "-d", dest, "--partitions", "2", "--master", "local[4]"]
+    )
+    assert code == 1 and not v1["ok"] and v1["by_type"].get("missing")
+
+    # triage every 'missing' as known_fail -> only the fresh ones remain
+    import csv
+
+    kf = tmp_path / "kf.csv"
+    # known-fail urls are exactly the sample-2 urls absent from the store;
+    # triage ALL sample-2-derived urls missing from verdicts
+    import hashlib, json as _json
+
+    rows = []
+    for line in open(JSONL2, encoding="utf-8-sig"):
+        d = _json.loads(line)
+        if d["meta"]["pile_set_name"] == "Pile-CC":
+            url = "pile://pile/" + hashlib.sha256(d["text"].encode()).hexdigest()[:16]
+            rows.append((url, "missing"))
+    with open(kf, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["url", "violation"])
+        w.writerows(rows)
+    code2, v2 = _run(
+        ["validate", "-i", JSONL2, "-d", dest, "--partitions", "2",
+         "--master", "local[4]", "--known-fail", str(kf)]
+    )
+    assert v2["n_known_fail"] > 0
+    assert "missing" not in v2["by_type"]
+
+    code3, ov = _run(["overview", "-d", dest, "--master", "local[4]"])
+    assert code3 == 0
+    assert ov["current_snapshot_id"] == 0 and ov["snapshots"][0]["n_docs"] == 12
