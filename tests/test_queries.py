@@ -12,12 +12,16 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+import os
+
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+# PUDDIN_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_queries.py
+# runs the identical gate at 10x scale (the sweep BASELINE.md cites)
+SF_DIR = os.environ.get("PUDDIN_TEST_SF_DIR", "/root/testdata/sf0.01")
 NAMES = sorted(entrymod.queries().keys())
 
 
