@@ -368,3 +368,84 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame, *, max_iterations: int = 20
+) -> DataFrame:
+    """Near-dup pairs -> clusters: (id, root) where root is the MINIMUM id
+    reachable through the pair graph — the missing resolution step between
+    pair generation (minhash/simhash/ngram/embedding families) and an
+    actual deduplicated corpus: every cluster keeps exactly one canonical
+    document (its min id), everything else is a drop candidate.
+
+    Connected components by iterative min-label propagation: each round,
+    every node takes the min of its own label and its neighbors' labels.
+    Scale shape: one self-join + partial-agg per round on (id, label) pairs
+    — never the document bodies; rounds needed = O(component diameter),
+    which for LSH-derived near-dup clusters (bucket cliques) is 2-3. The
+    driver loop runs one cheap count per round for convergence and raises
+    after max_iterations (a pathological 10^12-long chain is a data bug,
+    not a workload). Deterministic: min() has no ties.
+    """
+    edges = (
+        pairs.selectExpr("id_a as src", "id_b as dst")
+        .unionByName(pairs.selectExpr("id_b as src", "id_a as dst"))
+        .persist()
+    )
+    # localCheckpoint (not just persist) each round: caching stores the DATA
+    # but the LOGICAL PLAN still nests one join deeper per iteration, and
+    # Catalyst analysis over the accumulated lineage grows super-linearly —
+    # the classic iterative-algorithm wall. Checkpointing truncates lineage,
+    # so every round plans against a flat scan.
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.id)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nmin", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter("n.label != o.label")
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", F.col("label").alias("root"))
+        raise RuntimeError(
+            f"duplicate-cluster resolution did not converge in "
+            f"{max_iterations} rounds — component diameter exceeds the bound"
+        )
+    finally:
+        edges.unpersist()
+
+
+def near_dedup_keep_first(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply pair-graph resolution to a corpus: drop every near-dup cluster
+    member except the minimum id (keep-first, matching exact_dedup's
+    keep-min contract). Docs in no pair pass through untouched."""
+    losers = (
+        resolve_duplicate_clusters(pairs)
+        .filter("id != root")
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

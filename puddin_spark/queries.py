@@ -715,6 +715,35 @@ select id_a, id_b, jaccard from jac where jaccard >= 0.5
 """
 
 
+def q_neardup_resolution(spark, sf_dir):
+    """The resolution step between near-dup PAIRS and a deduplicated
+    corpus: connected components over the minhash pair graph, each doc
+    mapped to its cluster's minimum id (the canonical keep). Spark runs
+    iterative min-label propagation (dedup.resolve_duplicate_clusters);
+    the oracle computes the same fixpoint with a recursive CTE. The mutant
+    corpus gives real transitivity: organic duplicate texts chain with
+    their mutants into clusters larger than single pairs."""
+    pairs = dedup.minhash_lsh_pairs(
+        _neardup_docs(spark, sf_dir), "doc_id", "text",
+        num_hashes=16, band_size=2, shingle_k=3,
+        jaccard_threshold=0.5, shingle_mode="word",
+    )
+    return dedup.resolve_duplicate_clusters(pairs)
+
+
+def _oracle_neardup_resolution() -> str:
+    return f"""
+with recursive pairs as (select id_a, id_b from ({_oracle_minhash()}) q),
+edges as (select id_a as src, id_b as dst from pairs
+          union select id_b, id_a from pairs),
+reach as (
+  select src as id, dst as reach from edges
+  union select src as id, src as reach from edges
+  union select r.id, e.dst from reach r join edges e on r.reach = e.src)
+select id, min(reach) as root from reach group by id
+"""
+
+
 def q_simhash_values(spark, sf_dir):
     return dedup.simhash_table(
         read_table(spark, sf_dir, "documents"), "doc_id", "text"
@@ -1535,6 +1564,7 @@ SPARK_QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q18": q_tpch_q18,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "neardup_resolution": q_neardup_resolution,
     "simhash_values": q_simhash_values,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1586,6 +1616,7 @@ def oracle_queries() -> dict[str, str]:
         "tpch_q6": O_TPCH_Q6,
         "tpch_q18": O_TPCH_Q18,
         "minhash_lsh_pairs": _oracle_minhash(),
+        "neardup_resolution": _oracle_neardup_resolution(),
         "simhash_values": _oracle_simhash_values(),
         "simhash_near_pairs": _oracle_simhash_pairs(),
         "ngram_jaccard_pairs": O_NGRAM_JACCARD,
