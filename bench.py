@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "scrub_urls",
     "dedup_exact_first",
     "minhash_lsh_pairs",
+    "neardup_resolution",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
     "ann_cosine_topk",

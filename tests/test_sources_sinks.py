@@ -337,3 +337,25 @@ def test_reconcile_conllu_output(spark, tmp_path):
             reconcile_conllu_output(spark, verdicts, out).collect()}
     assert ("d9", "not_kept_but_present") in got2
     assert ("d9", "duplicated_in_output") in got2
+
+
+def test_jsonl_gz_source(spark, tmp_path):
+    """Compressed jsonl reads transparently (the Pile ships compressed
+    shards; Spark's text/json readers decompress .gz per file — one task
+    per gz member, same subset-gate pushdown)."""
+    import gzip
+    import shutil
+
+    gz = tmp_path / "sample-1.jsonl.gz"
+    with open(REF_JSONL.replace("sample-2", "sample-1"), "rb") as src, \
+            gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    pages = read_pile_jsonl(spark, str(gz), "Pile-CC", source_label="s1")
+    assert pages.count() == 12
+    plain = read_pile_jsonl(
+        spark, REF_JSONL.replace("sample-2", "sample-1"), "Pile-CC",
+        source_label="s1",
+    )
+    assert sorted(r.url for r in pages.collect()) == sorted(
+        r.url for r in plain.collect()
+    )
