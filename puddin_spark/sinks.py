@@ -123,7 +123,13 @@ def validate_conllu_output(spark, out_dir: str) -> DataFrame:
     """Distributed well-formedness scan of a write_conllu output directory:
     one task per file (wholetext read), blocks split on blank lines, each
     checked by conllu_block_violations. Returns (file, block_ix, violation)
-    rows — empty means every block in every file is well-formed."""
+    rows — empty means every block in every file is well-formed.
+
+    Memory bound: wholetext holds ONE file per task (sentence blocks can't
+    be reassembled across arbitrary line-split boundaries), so per-executor
+    memory must cover the largest slice file — size num_slices in
+    write_conllu accordingly (the reference's slices were ~377 MB). For a
+    cheaper line-parallel completeness check use reconcile_conllu_output."""
     import pandas as pd
 
     files = spark.read.text(out_dir + "/*.txt", wholetext=True).selectExpr(

@@ -243,8 +243,10 @@ def record_failures(
     flagged = failed.select("doc_id").distinct().withColumn("_fail", F.lit(True))
     if flagged.isEmpty():
         return -1
+    # no forced broadcast: failures are normally tiny (AQE will broadcast),
+    # but a mass-failure event must not OOM the driver trying to
     updated = (
-        verdicts.join(F.broadcast(flagged), "doc_id", "left")
+        verdicts.join(flagged, "doc_id", "left")
         .withColumn(
             "keep", F.when(F.col("_fail"), F.lit(False)).otherwise(F.col("keep"))
         )
