@@ -115,6 +115,20 @@ def main() -> None:
         t0 = time.perf_counter()
         q(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         results[name] = round(time.perf_counter() - t0, 3)
+
+    # production minhash path (xxhash64): not a catalog gate (md5 is the
+    # oracle-parity default) but the recorded artifact should show the
+    # at-scale hash family's delta on the identical input
+    from puddin_spark.operators.dedup import minhash_lsh_pairs
+    from puddin_spark.queries import _neardup_docs
+
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(
+        _neardup_docs(spark, SF_DIR), "doc_id", "text",
+        num_hashes=16, band_size=2, shingle_k=3,
+        jaccard_threshold=0.5, shingle_mode="word", hash_impl="xxhash64",
+    ).write.mode("overwrite").format("noop").save()
+    results["minhash_lsh_pairs_xxhash64"] = round(time.perf_counter() - t0, 3)
     spark.stop()
 
     # --- pipeline throughput at three parallelism levels (same input).
