@@ -1044,12 +1044,15 @@ def q_media_frames(spark, sf_dir):
     2nd 256-byte frame kept (sample_frames is the row-multiplying
     mapInPandas shape). Frames compared by sha256 — the corpus is pure
     ASCII, so the oracle slices the VARCHAR text directly and hashes its
-    utf-8 bytes (identical to Spark hashing the binary slice)."""
+    utf-8 bytes (identical to Spark hashing the binary slice). Both sides
+    share an EXPLICIT 4096-frame cap (1 MiB of 256-byte frames) — the
+    oracle's frame generator needs a constant bound, and a one-sided bound
+    would silently desync the gate on long documents."""
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("media")
     )
     fr = sample_frames(d, every_n=2, frame_bytes=256)
-    return fr.select(
+    return fr.filter(F.col("frame_ix") < 4096).select(
         "doc_id", "frame_ix", "ts_ms", F.sha2("frame", 256).alias("frame_sha")
     )
 
@@ -1058,7 +1061,7 @@ O_MEDIA_FRAMES = """
 with f as (
   select doc_id, cast(ix as int) as frame_ix, cast(ix * 40 as int) as ts_ms,
          substring(text, cast(ix * 256 + 1 as bigint), 256) as chunk
-  from documents, range(0, 64) t(ix)
+  from documents, range(0, 4096) t(ix)
   where ix * 256 < length(text))
 select doc_id, frame_ix, ts_ms, sha256(chunk) as frame_sha
 from f where frame_ix % 2 = 0

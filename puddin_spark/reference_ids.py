@@ -45,15 +45,20 @@ def with_global_row_number(
     but every stage is embarrassingly parallel — no `Exchange SinglePartition`
     wall at 10^12 rows.
 
-    The range-partitioned frame is persisted (MEMORY_AND_DISK) so the count
-    pass and the numbering pass see the SAME partition boundaries — Spark's
-    range sampler is not deterministic across separate jobs. At cluster scale
-    pass a thin (key-only) projection and join the numbers back on the key.
+    Only a KEY-ONLY projection is range-partitioned and persisted
+    (MEMORY_AND_DISK) — the persist is required so the count pass and the
+    numbering pass see the SAME partition boundaries (Spark's range sampler
+    is not deterministic across separate jobs), but caching full rows would
+    pin the whole corpus in executor storage for the session (the numbers
+    join back to `df` on the unique keys instead: one bounded shuffle on
+    keys versus an unbounded cache). The residual cached footprint is the
+    key columns only, evicted LRU.
     """
+    thin = df.select(*order_cols)
     parted = (
-        df.repartitionByRange(num_partitions, *order_cols)
+        thin.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
-        else df.repartitionByRange(*order_cols)
+        else thin.repartitionByRange(*order_cols)
     )
     parted = parted.withColumn("_gpid", F.spark_partition_id()).persist()
     counts = sorted(
@@ -66,11 +71,12 @@ def with_global_row_number(
         acc += r["c"]
     odf = df.sparkSession.createDataFrame(offsets, "_gpid int, _goff long")
     w = Window.partitionBy("_gpid").orderBy(*order_cols)
-    return (
+    numbered = (
         parted.join(F.broadcast(odf), "_gpid")
         .withColumn(rn_col, F.row_number().over(w) + F.col("_goff"))
         .drop("_gpid", "_goff")
     )
+    return df.join(numbered, order_cols)
 
 
 def plan_slices(n: int, limit: int) -> list[int]:

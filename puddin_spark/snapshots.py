@@ -98,23 +98,20 @@ class SnapshotStore:
             lineage.write.mode("overwrite").parquet(str(staging / "lineage"))
 
         snap_id = self.current_snapshot_id() + 1
-        snap_dir = self.base / f"snap-{snap_id:06d}"
         final = self.base / "_commits" / f"{snap_id:06d}.json"
         if final.exists():
-            # another writer fully landed this id since we read the log —
-            # fail BEFORE touching its directory (no destructive reclaim)
+            # cheap early exit: another writer fully landed this id since we
+            # read the log (the authoritative arbitration is the link below)
             raise ConcurrentWriteError(
                 f"snapshot {snap_id} was committed by another writer; "
                 f"this store is single-writer"
             )
-        if snap_dir.exists():
-            # orphan from a crash between the dir rename and the commit-record
-            # write: no commit references it (checked above), so readers
-            # never saw it — reclaim the slot so commits never wedge on
-            # ENOTEMPTY
-            import shutil
-
-            shutil.rmtree(snap_dir)
+        # the data directory name carries the writer token, so concurrent
+        # writers NEVER collide on a directory — no reclaim-rmtree exists to
+        # misfire on a competitor's just-renamed data. The commit-record
+        # link(2) below is the single arbitration point; a loser's renamed
+        # directory is simply an unreferenced orphan that gc() collects.
+        snap_dir = self.base / f"snap-{snap_id:06d}-{token[:8]}"
         os.rename(staging, snap_dir)  # atomic on POSIX
 
         rec = {
@@ -123,7 +120,9 @@ class SnapshotStore:
             "lineage_dir": (snap_dir.name + "/lineage") if lineage is not None else None,
             "base": base,
         }
-        tmp = self.base / "_commits" / f".{snap_id:06d}.json.tmp"
+        # per-writer tmp record: a shared name would let the loser unlink
+        # the winner's tmp mid-protocol
+        tmp = self.base / "_commits" / f".{snap_id:06d}.{token[:8]}.json.tmp"
         tmp.write_text(json.dumps(rec))
         try:
             os.link(tmp, final)  # fails with EEXIST instead of clobbering
@@ -159,25 +158,42 @@ class SnapshotStore:
         lineage = self.read_lineage(spark, as_of=to_snapshot)
         return self.commit(data, lineage, base=True)
 
-    def gc(self) -> int:
+    def gc(self, *, staging_max_age_s: float = 3600.0) -> int:
         """Drop commit records and snapshot directories superseded by the
-        latest base snapshot (plus crash-orphaned staging). Returns the
-        number of snapshot directories removed. Run after compact(); not
-        concurrency-safe with in-flight readers of pre-base snapshots."""
-        import shutil
+        latest base snapshot, plus unreferenced orphan directories (crashed
+        or commit-race-losing writers) and STALE staging. Returns the number
+        of snapshot directories removed. Run after compact(); not
+        concurrency-safe with in-flight readers of pre-base snapshots.
 
-        active = {rec["snapshot_id"] for rec in self._active_commits()}
+        staging_max_age_s guards in-flight writers: a staging directory is
+        only reclaimed once untouched for that long (a live commit is
+        between its staging write and rename — deleting under it would lose
+        the batch). Pass 0 only when no writer can be running."""
+        import shutil
+        import time
+
+        active_ids = {rec["snapshot_id"] for rec in self._active_commits()}
+        # keep directories by NAME from the records (orphans from losing
+        # writers share a snapshot id with the winner but not a directory)
+        active_dirs = set()
+        for rec in self._active_commits():
+            for kind in ("data_dir", "lineage_dir"):
+                d = rec.get(kind)
+                if d:
+                    active_dirs.add(d.split("/")[0])
         removed = 0
         # records first: new readers stop referencing the old dirs
         for p in sorted((self.base / "_commits").glob("*.json")):
-            if json.loads(p.read_text())["snapshot_id"] not in active:
+            if json.loads(p.read_text())["snapshot_id"] not in active_ids:
                 p.unlink()
         for d in sorted(self.base.glob("snap-*")):
-            if int(d.name.split("-")[1]) not in active:
+            if d.name not in active_dirs:
                 shutil.rmtree(d)
                 removed += 1
+        now = time.time()
         for d in (self.base / "_staging").iterdir():
-            shutil.rmtree(d)
+            if now - d.stat().st_mtime >= staging_max_age_s:
+                shutil.rmtree(d)
         return removed
 
     # --- read path ---

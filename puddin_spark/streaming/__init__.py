@@ -62,7 +62,9 @@ SESSION_OUT_DDL = (
     "user_id string, session_start timestamp, session_end timestamp,"
     " n_events bigint"
 )
-SESSION_STATE_DDL = "start_us bigint, end_us bigint, n bigint"
+SESSION_STATE_DDL = (
+    "starts_us array<bigint>, ends_us array<bigint>, ns array<bigint>"
+)
 
 
 def sessionize_stream(
@@ -76,20 +78,21 @@ def sessionize_stream(
     """Streaming gap-based sessionization — the custom-stateful-operator
     form (applyInPandasWithState) of the batch `events_sessionize` gate.
 
-    State per user = the one OPEN session (start_us, end_us, n). Each
-    micro-batch merges its events into the open session with the gap rule;
-    sessions that close inside a batch are emitted immediately, and the last
-    open session is emitted when the event-time watermark passes
-    last_event + gap (EventTimeTimeout), so results are deterministic under
-    any micro-batch slicing of the same input — the streaming analog of the
-    batch lag->boundary->running-sum plan. Late events inside the watermark
-    merge correctly even if they precede the open session (interval union,
-    not forward-only fold); events older than the watermark are dropped by
-    Spark before the operator sees them.
+    State per user = every session not yet FINAL. A session is final — and
+    is only then emitted — once the event-time watermark passes its
+    last_event + gap: no event the watermark can still admit could extend
+    or merge it (a gap observed inside one micro-batch is NOT enough — a
+    late event inside the allowed lateness may bridge it). This makes the
+    emitted sessions identical to the batch lag->boundary->running-sum
+    result for every event the watermark admitted, under ANY micro-batch
+    slicing. Merging is interval union (late events that precede the newest
+    session merge correctly); events older than the watermark are dropped
+    by Spark before the operator sees them.
 
-    Scale shape: state is 24 bytes per ACTIVE user (closed sessions leave
-    state), partitioned by user hash — the same shuffle key the batch window
-    uses; no per-event state growth.
+    Scale shape: state is 24 bytes per not-yet-final session, bounded per
+    user by lateness/gap (at most the sessions inside one watermark window
+    — typically one); partitioned by user hash, the same shuffle key the
+    batch window uses; no per-event state growth.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -108,19 +111,20 @@ def sessionize_stream(
 
     def fn(key, pdfs, state: GroupState):
         user = key[0]
-        if state.hasTimedOut:
-            s, e, n = state.get
-            state.remove()
-            yield _emit(user, [(s, e, n)])
-            return
+        wm_us = state.getCurrentWatermarkMs() * 1000
         intervals = []
-        for pdf in pdfs:
-            ts = pd.to_datetime(pdf[ts_col])
-            intervals.extend([int(t.value) // 1000, int(t.value) // 1000, 1] for t in ts)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts = pd.to_datetime(pdf[ts_col])
+                intervals.extend(
+                    [int(t.value) // 1000, int(t.value) // 1000, 1] for t in ts
+                )
         if state.exists:
-            s, e, n = state.get
-            intervals.append([s, e, n])
+            starts, ends, ns = state.get
+            intervals.extend([s, e, n] for s, e, n in zip(starts, ends, ns))
         if not intervals:
+            if state.exists:
+                state.remove()
             return
         intervals.sort()
         merged = [intervals[0]]
@@ -130,12 +134,22 @@ def sessionize_stream(
                 merged[-1][2] += iv[2]
             else:
                 merged.append(iv)
-        *closed, last = merged
-        state.update((last[0], last[1], last[2]))
-        # close the open session once the watermark passes last_event + gap
-        state.setTimeoutTimestamp((last[1] + gap_us) // 1000)
-        if closed:
-            yield _emit(user, [tuple(c) for c in closed])
+        final = [s for s in merged if s[1] + gap_us <= wm_us]
+        pending = [s for s in merged if s[1] + gap_us > wm_us]
+        if pending:
+            state.update(
+                (
+                    [s[0] for s in pending],
+                    [s[1] for s in pending],
+                    [s[2] for s in pending],
+                )
+            )
+            # wake when the watermark passes the earliest pending close time
+            state.setTimeoutTimestamp(min(s[1] for s in pending) // 1000 + gap_us // 1000)
+        elif state.exists:
+            state.remove()
+        if final:
+            yield _emit(user, [tuple(s) for s in final])
 
     return (
         events.withWatermark(ts_col, late)

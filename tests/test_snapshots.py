@@ -87,21 +87,42 @@ def test_concurrent_commit_fails_loudly(spark, tmp_path):
     pages = synth_pages_local(spark, 40)
     run_resumable_pipeline(spark, pages.limit(20), store, num_partitions=2)
 
-    # the competing writer fully lands snapshot 1 (record + data dir)
+    # the competing winner's data dir (its record lands MID-RACE below)
     winner = {"snapshot_id": 1, "data_dir": "snap-000001/data",
               "lineage_dir": None, "base": False}
-    (store.base / "_commits" / "000001.json").write_text(json.dumps(winner))
     marker = store.base / "snap-000001" / "data" / "winner.marker"
     marker.parent.mkdir(parents=True)
     marker.write_text("x")
 
-    # (read snapshot 0 directly — the fake winner dir holds no parquet)
-    df = spark.read.parquet(str(store.base / "snap-000000" / "data")).limit(3)
-    # this writer read the log BEFORE the winner landed (stale view)
-    with mock.patch.object(SnapshotStore, "current_snapshot_id", return_value=0):
+    # (read snapshot 0 via its commit record — data dirs carry the writer
+    # token so the name isn't fixed)
+    snap0_dir = store.commits()[0]["data_dir"]
+    df = spark.read.parquet(str(store.base / snap0_dir)).limit(3)
+
+    # exercise the narrowest window: the winner's record lands AFTER this
+    # writer's pre-checks and directory rename, BEFORE its record link —
+    # the link(2) arbitration must reject the loser, and the loser's
+    # already-renamed directory must become a harmless orphan (the old
+    # protocol's reclaim-rmtree destroyed the winner's data right here)
+    import os as _os
+
+    real_rename = _os.rename
+
+    def rename_then_winner_lands(src, dst):
+        real_rename(src, dst)
+        (store.base / "_commits" / "000001.json").write_text(json.dumps(winner))
+
+    with mock.patch("puddin_spark.snapshots.os.rename",
+                    side_effect=rename_then_winner_lands):
         with pytest.raises(ConcurrentWriteError):
             store.commit(df)
     assert marker.exists()  # the winner's data survived the losing attempt
+    # the loser's renamed directory is an unreferenced orphan: gc collects
+    # it without touching record-referenced dirs
+    assert list(store.base.glob("snap-000001-*"))
+    store.gc(staging_max_age_s=0)
+    assert not list(store.base.glob("snap-000001-*"))
+    assert marker.exists()
 
 
 def test_compact_and_gc(spark, tmp_path):

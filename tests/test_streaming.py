@@ -117,3 +117,54 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert ("u2", "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1) in got
     # open sessions (u3; u2's 13:00) must NOT have been emitted prematurely
     assert not any(u == "u3" for u, *_ in got)
+
+
+def test_sessionize_stream_late_event_bridges_gap(spark, tmp_path):
+    """A late-but-admitted event that lands between two provisional
+    sessions must merge them — a gap observed inside one micro-batch is not
+    final until the watermark passes it (the batch-equivalence property)."""
+    import time as _time
+
+    from puddin_spark.streaming import sessionize_stream
+
+    d = tmp_path / "events"
+    d.mkdir()
+    drops = [
+        [("u1", "2024-01-01 10:00:00")],
+        # 33 min later: a provisional gap (> 30 min) — NOT final yet
+        [("u1", "2024-01-01 10:33:00")],
+        # late event (>= watermark 10:23) bridges both provisional sessions
+        [("u1", "2024-01-01 10:28:00")],
+        # advance the watermark far past 10:33+gap so the merged session
+        # becomes final and emits
+        [("u2", "2024-01-01 14:00:00")],
+    ]
+    for rows in drops:
+        spark.createDataFrame(rows, "user_id string, ts_s string").selectExpr(
+            "user_id", "cast(ts_s as timestamp) as ts"
+        ).coalesce(1).write.mode("append").parquet(str(d))
+        _time.sleep(0.05)
+
+    events = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    sess = sessionize_stream(events, gap_minutes=30, late="10 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("sessions_late").collect()
+    }
+    # ONE merged session — not a split (10:00,10:00,1)+(10:28,10:33,2)
+    assert ("u1", "2024-01-01 10:00:00", "2024-01-01 10:33:00", 3) in got
+    assert not any(n == 1 and u == "u1" for u, _, _, n in got)
