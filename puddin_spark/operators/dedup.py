@@ -449,3 +449,126 @@ def near_dedup_keep_first(
         .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Persistable minhash index: (id, sh, mh) — shingle array + signature
+    per document. Write this next to the snapshot store at commit time and
+    incremental runs never re-shingle the committed corpus (at 10^12 docs,
+    recomputing signatures per ingest batch IS the cost)."""
+    sh = (
+        word_ngrams(text_col, shingle_k)
+        if shingle_mode == "word"
+        else char_shingles(text_col, shingle_k)
+    )
+    return df.select(F.col(id_col).alias("id"), sh.alias("sh")).withColumn(
+        "mh", minhash_signature("sh", num_hashes, hash_impl)
+    )
+
+
+def incremental_minhash_pairs(
+    new_index: DataFrame,
+    committed_index: DataFrame | None,
+    *,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    hash_impl: str = "md5",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL ingest: every pair touches at
+    least one NEW document — new-vs-committed and new-vs-new, never
+    committed-vs-committed (that work was done when those docs landed; at
+    10^12 committed docs re-pairing the corpus per batch is the difference
+    between an ingest pipeline and a full recompute).
+
+    Inputs are minhash_index frames (same num_hashes/shingle params).
+    Returns (id_a, id_b, jaccard, committed_side) where committed_side is
+    true when one endpoint is committed — the keep-first policy drops the
+    NEW doc in that case (the committed doc already shipped), mirroring the
+    store's exact text_sha resume dedup.
+
+    Plan shape: band keys for BOTH sides, the committed side's bands join
+    against only the NEW side's band keys (a semi-restricted equi-join —
+    the shuffle carries committed (id, band) rows only for keys the batch
+    actually produced); shingles rejoin for exact verification on the
+    surviving candidates only.
+    """
+    new_i = new_index.withColumn("_new", F.lit(True))
+    both = (
+        new_i.unionByName(committed_index.withColumn("_new", F.lit(False)))
+        if committed_index is not None
+        else new_i
+    )
+    # the band expressions need the signature length as a plan-time
+    # constant; read it from one signature (empty batch -> default 16)
+    num = new_index.select(F.size("mh").alias("n")).limit(1).collect()
+    k = num[0]["n"] if num else 16
+    num_bands = k // band_size
+    if hash_impl == "xxhash64":
+        band_cols = [
+            F.xxhash64(*[F.expr(f"mh[{b * band_size + r}]") for r in range(band_size)])
+            for b in range(num_bands)
+        ]
+    else:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.expr(f"mh[{b * band_size + r}]") for r in range(band_size)],
+                )
+            )
+            for b in range(num_bands)
+        ]
+    bands = both.select(
+        "id", "_new", F.posexplode(F.array(*band_cols)).alias("band_ix", "band_key")
+    )
+    new_keys = bands.filter("_new").select("band_ix", "band_key").distinct()
+    bands = bands.join(new_keys, ["band_ix", "band_key"], "left_semi")
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_ix", "band_key")
+        bands = (
+            bands.withColumn("_bn", F.count("*").over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("_new").alias("new_a"), "band_ix", "band_key"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("_new").alias("new_b"), "band_ix", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_ix", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("new_a") | F.col("new_b"))  # at least one new endpoint
+        .select("id_a", "id_b", (~(F.col("new_a") & F.col("new_b"))).alias("committed_side"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_only = both.select("id", "sh")
+    return (
+        cand.join(
+            sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard", "committed_side")
+    )

@@ -328,3 +328,63 @@ def test_resolve_clusters_diameter_bound(spark):
         resolve_duplicate_clusters(chain, max_iterations=2)
     roots = resolve_duplicate_clusters(chain, max_iterations=20).collect()
     assert all(r.root == 0 for r in roots)
+
+
+def test_incremental_minhash_pairs(spark):
+    """Incremental ingest dedup: pairs touch at least one NEW doc — the
+    committed corpus is never re-paired against itself; committed_side
+    marks pairs where keep-first must drop the new doc."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_index, minhash_lsh_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    committed = docs.filter("doc_id < 40")
+    # new batch: 20 fresh docs + mutants of 10 COMMITTED docs + 1 pair of
+    # mutants of the same committed doc (new-vs-new near-dup)
+    mut = committed.filter("doc_id < 10").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail words here")).alias("text"),
+    )
+    mut2 = committed.filter("doc_id = 0").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail tokens here")).alias("text"),
+    )
+    new = docs.filter("doc_id >= 40").unionByName(mut).unionByName(mut2)
+
+    kw = dict(num_hashes=16, shingle_k=3, shingle_mode="word")
+    ci = minhash_index(committed, **kw)
+    ni = minhash_index(new, **kw)
+    pairs = incremental_minhash_pairs(
+        ni, ci, band_size=2, jaccard_threshold=0.5
+    ).collect()
+
+    new_ids = {r.doc_id for r in new.collect()}
+    assert pairs, "mutants must pair with their committed sources"
+    for p in pairs:
+        assert p.id_a in new_ids or p.id_b in new_ids  # no committed-vs-committed
+    cross = {(p.id_a, p.id_b) for p in pairs if p.committed_side}
+    assert (0, 1000000) in cross and (0, 2000000) in cross
+    assert all((a, b) for a, b in cross)
+    new_new = {(p.id_a, p.id_b) for p in pairs if not p.committed_side}
+    assert (1000000, 2000000) in new_new  # two mutants of the same source
+
+    # equivalence check: incremental pairs == full-corpus pairs minus the
+    # committed-vs-committed ones (same minhash scheme end to end)
+    full = minhash_lsh_pairs(
+        committed.unionByName(new), "doc_id", "text",
+        num_hashes=16, band_size=2, shingle_k=3,
+        jaccard_threshold=0.5, shingle_mode="word",
+    ).collect()
+    want = {
+        (p.id_a, p.id_b, p.jaccard) for p in full
+        if p.id_a in new_ids or p.id_b in new_ids
+    }
+    got = {(p.id_a, p.id_b, p.jaccard) for p in pairs}
+    assert got == want
