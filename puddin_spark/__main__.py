@@ -44,7 +44,8 @@ def cmd_run(args) -> int:
         pages = pages.limit(args.limit)
     store = SnapshotStore(f"{args.dest}/verdicts")
     snap_id, n_new = run_resumable_pipeline(
-        spark, pages, store, num_partitions=args.partitions
+        spark, pages, store, num_partitions=args.partitions,
+        near_dedup=args.near_dedup,
     )
     out = {"snapshot_id": snap_id, "new_docs": n_new}
     if snap_id >= 0:
@@ -211,6 +212,13 @@ def main(argv: list[str] | None = None) -> int:
         if name == "run":
             sp.add_argument("--limit", type=int, default=0)
             sp.add_argument("--conllu", action="store_true")
+            sp.add_argument(
+                "--near-dedup",
+                action="store_true",
+                help="fuzzy-dedup each batch against all prior batches via"
+                " the minhash index sidecar; near-dup newcomers get"
+                " excl_type='near_dup'",
+            )
             sp.add_argument(
                 "--annotate",
                 action="store_true",

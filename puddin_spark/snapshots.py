@@ -285,9 +285,24 @@ def run_resumable_pipeline(
     store: SnapshotStore,
     *,
     num_partitions: int = 32,
+    near_dedup: bool = False,
 ) -> tuple[int, int]:
     """One resumable pipeline run: process only not-yet-committed urls,
     commit verdicts + per-partition lineage atomically.
+
+    near_dedup=True additionally fuzzy-dedups each batch against every
+    PRIOR batch: a minhash index (shingles + signatures of surviving kept
+    docs) is maintained in a sibling snapshot store at <base>/minhash_index,
+    new docs near-duplicating an indexed doc — or losing keep-first within
+    the batch's own near-dup clusters — flip to keep=false with
+    excl_type='near_dup' BEFORE the commit, and only survivors join the
+    index. Per-batch cost scales with the batch (the committed corpus is
+    never re-shingled or re-paired; incremental_minhash_pairs). This is the
+    near-dup analog of the exact text_sha resume dedup below; off by
+    default because 'near_dup' is a graft-axis label the reference doesn't
+    emit. If a crash lands the verdict commit but not the index commit, the
+    next run re-indexes the missing kept docs from their committed
+    clean_text (eventual index consistency without a 2-phase commit).
 
     Returns (snapshot_id, n_new_docs); snapshot_id is -1 when there was
     nothing new (no empty commits — rerun after success is a no-op, the
@@ -316,17 +331,113 @@ def run_resumable_pipeline(
                 "left_anti",
             )
     verdicts = quality_pipeline(todo, num_partitions=num_partitions)
-    verdicts = verdicts.persist()
+    raw_verdicts = verdicts = verdicts.persist()
+    new_idx = None
     try:
         n_new = verdicts.count()
         if n_new == 0:
             return -1, 0
+        idx_store = None
+        if near_dedup:
+            verdicts, new_idx, idx_store = _apply_near_dedup(
+                spark, store, verdicts, committed
+            )
+            verdicts = verdicts.persist()
+            verdicts.count()  # materialize before committing
         lineage = lineage_table(verdicts, num_partitions=num_partitions).withColumn(
             "snapshot_id", F.lit(store.current_snapshot_id() + 1)
         )
         snap_id = store.commit(verdicts, lineage)
+        if near_dedup and new_idx is not None:
+            # index lands AFTER the verdict commit (see docstring for the
+            # crash-lag recovery); only this batch's surviving kept docs
+            idx_store.commit(new_idx)
         return snap_id, n_new
     finally:
         verdicts.unpersist()
+        if raw_verdicts is not verdicts:
+            raw_verdicts.unpersist()
         if seen is not None:
             seen.unpersist()
+
+
+def _apply_near_dedup(spark, store, verdicts, committed):
+    """Flip near-dup newcomers to keep=false/excl_type='near_dup'; return
+    (updated_verdicts, index_of_survivors, index_store). See
+    run_resumable_pipeline(near_dedup=True)."""
+    from puddin_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_index,
+        resolve_duplicate_clusters,
+    )
+
+    IDX_KW = dict(num_hashes=16, shingle_k=3, shingle_mode="word")
+    idx_store = SnapshotStore(store.base / "minhash_index")
+    committed_idx = idx_store.read(spark)
+    # crash-lag recovery: committed kept docs absent from the index get
+    # re-indexed from their committed clean_text in this batch's commit
+    lag_idx = None
+    if committed is not None:
+        lag = committed.filter("keep").select("doc_id", "clean_text")
+        if committed_idx is not None:
+            lag = lag.join(
+                committed_idx.select(F.col("id").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        lag_idx = minhash_index(lag, "doc_id", "clean_text", **IDX_KW)
+        committed_idx = (
+            committed_idx.unionByName(lag_idx)
+            if committed_idx is not None
+            else lag_idx
+        )
+        if committed_idx.isEmpty():
+            committed_idx = None
+
+    kept = verdicts.filter("keep").select("doc_id", "clean_text")
+    new_idx = minhash_index(kept, "doc_id", "clean_text", **IDX_KW)
+    pairs = incremental_minhash_pairs(
+        new_idx, committed_idx, band_size=2, jaccard_threshold=0.5
+    ).persist()
+    new_ids = kept.select(F.col("doc_id").alias("id"))
+    vs_committed = pairs.filter("committed_side")
+    drops = (
+        vs_committed.join(new_ids, vs_committed.id_a == new_ids.id, "left_semi")
+        .select(F.col("id_a").alias("doc_id"))
+        .unionByName(
+            vs_committed.join(
+                new_ids, vs_committed.id_b == new_ids.id, "left_semi"
+            ).select(F.col("id_b").alias("doc_id"))
+        )
+    )
+    new_new = pairs.filter("not committed_side").select("id_a", "id_b")
+    if not new_new.isEmpty():
+        losers = (
+            resolve_duplicate_clusters(new_new)
+            .filter("id != root")
+            .select(F.col("id").alias("doc_id"))
+        )
+        drops = drops.unionByName(losers)
+    # materialize the (tiny) drop set, then free the pair cache — nothing
+    # downstream re-reads pairs
+    drops = drops.distinct().localCheckpoint()
+    pairs.unpersist()
+    drops = drops.withColumn("_nd", F.lit(True))
+    updated = (
+        verdicts.join(drops, "doc_id", "left")
+        .withColumn(
+            "keep", F.when(F.col("_nd"), F.lit(False)).otherwise(F.col("keep"))
+        )
+        .withColumn(
+            "excl_type",
+            F.when(F.col("_nd"), F.lit("near_dup")).otherwise(F.col("excl_type")),
+        )
+        .drop("_nd")
+        .select(*verdicts.columns)
+    )
+    survivors_idx = new_idx.join(
+        drops.select(F.col("doc_id").alias("id")), "id", "left_anti"
+    )
+    if lag_idx is not None:
+        survivors_idx = survivors_idx.unionByName(lag_idx)
+    return updated, survivors_idx, idx_store

@@ -155,8 +155,9 @@ def test_compact_and_gc(spark, tmp_path):
 
 def test_commit_recovers_from_crash_between_rename_and_record(spark, tmp_path):
     """Crash AFTER the snapshot-dir rename but BEFORE the commit-record write
-    leaves snap-<N> on disk with no record. The next commit must reclaim the
-    slot instead of wedging on ENOTEMPTY forever."""
+    leaves an unreferenced snap dir on disk. The next commit must proceed
+    unbothered (token-unique dir names mean there is no slot to contend
+    for; gc collects the orphan later)."""
     store = SnapshotStore(tmp_path / "t")
     pages = synth_pages_local(spark, 80)
     run_resumable_pipeline(spark, pages.limit(40), store, num_partitions=2)
@@ -223,3 +224,70 @@ def test_rollback_restores_historical_state(spark, tmp_path):
     snap, n_re = run_resumable_pipeline(spark, pages, store, num_partitions=2)
     assert snap == 3 and n_re == n1 - n0
     assert store.read(spark).count() == n1
+
+
+def test_near_dedup_across_resumes(spark, tmp_path):
+    """near_dedup=True: a later batch's fuzzy twin of a committed doc (new
+    url, mutated text — invisible to the exact text_sha resume dedup) flips
+    to excl_type='near_dup'; survivors join the minhash index; rerun stays
+    idempotent; a simulated index-lag crash self-heals."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(tmp_path / "v")
+    pages = synth_pages_local(spark, 80).cache()
+    batch1 = pages.limit(40)
+    snap0, n0 = run_resumable_pipeline(
+        spark, batch1, store, num_partitions=2, near_dedup=True
+    )
+    assert snap0 == 0 and n0 > 0
+    v0 = store.read(spark)
+    assert v0.filter("excl_type = 'near_dup'").count() == 0
+    idx0 = SnapshotStore(store.base / "minhash_index").read(spark)
+    assert idx0.count() == v0.filter("keep").count()
+
+    # batch 2: fresh docs + a fuzzy twin of one committed KEPT doc
+    src = v0.filter("keep").orderBy("doc_id").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [("https://twin.example/1", src.clean_text + " extra tail words here")],
+        "url string, text string",
+    ).selectExpr(
+        "url", "cast('2024-01-01' as timestamp) as warc_ts",
+        "cast(null as binary) as html", "text", "'en' as lang",
+    )
+    batch2 = pages.subtract(batch1).unionByName(twin.select(*pages.columns))
+    snap1, n1 = run_resumable_pipeline(
+        spark, batch2, store, num_partitions=2, near_dedup=True
+    )
+    assert snap1 == 1 and n1 > 0
+    v1 = store.read(spark)
+    twin_row = v1.filter(F.col("url") == "https://twin.example/1").collect()[0]
+    assert twin_row.keep is False and twin_row.excl_type == "near_dup"
+    idx1 = SnapshotStore(store.base / "minhash_index").read(spark)
+    assert idx1.count() == v1.filter("keep").count()  # survivors only
+
+    # idempotent rerun
+    snap2, n2 = run_resumable_pipeline(
+        spark, batch2, store, num_partitions=2, near_dedup=True
+    )
+    assert (snap2, n2) == (-1, 0)
+
+    # crash-lag recovery: wipe the index store entirely; the next batch
+    # rebuilds committed docs' index rows from their committed clean_text
+    # and still catches a twin of a batch-1 doc
+    import shutil
+
+    shutil.rmtree(store.base / "minhash_index")
+    twin2 = twin.selectExpr(
+        "'https://twin.example/2' as url", "warc_ts", "html",
+        "concat(text, ' more') as text", "lang",
+    )
+    snap3, _ = run_resumable_pipeline(
+        spark, twin2.select(*pages.columns), store, num_partitions=2,
+        near_dedup=True,
+    )
+    assert snap3 == 2
+    v3 = store.read(spark)
+    t2 = v3.filter(F.col("url") == "https://twin.example/2").collect()[0]
+    assert t2.keep is False and t2.excl_type == "near_dup"
+    idx3 = SnapshotStore(store.base / "minhash_index").read(spark)
+    assert idx3.count() == v3.filter("keep").count()  # fully healed
