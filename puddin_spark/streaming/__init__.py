@@ -39,13 +39,18 @@ def run_streaming_pipeline(
     *,
     num_partitions: int = 32,
     available_now: bool = True,
+    near_dedup: bool = False,
 ):
     """Continuous ingestion: each micro-batch runs the batch pipeline body
-    and commits atomically. Returns the StreamingQuery (caller awaits)."""
+    and commits atomically. Returns the StreamingQuery (caller awaits).
+    near_dedup extends the replay-idempotence contract to fuzzy twins:
+    every micro-batch dedups against the minhash index of all prior
+    batches (see run_resumable_pipeline)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_resumable_pipeline(
-            spark, batch_df, store, num_partitions=num_partitions
+            spark, batch_df, store, num_partitions=num_partitions,
+            near_dedup=near_dedup,
         )
 
     writer = (

@@ -168,3 +168,39 @@ def test_sessionize_stream_late_event_bridges_gap(spark, tmp_path):
     # ONE merged session — not a split (10:00,10:00,1)+(10:28,10:33,2)
     assert ("u1", "2024-01-01 10:00:00", "2024-01-01 10:33:00", 3) in got
     assert not any(n == 1 and u == "u1" for u, _, _, n in got)
+
+
+def test_streaming_near_dedup(spark, tmp_path):
+    """Streaming ingestion with near_dedup: a later drop's fuzzy twin of an
+    earlier micro-batch's doc is excluded as near_dup."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.synth import synth_pages_local
+
+    pages = synth_pages_local(spark, 30).cache()
+    d = tmp_path / "drops"
+    d.mkdir()
+    pages.coalesce(1).write.mode("append").parquet(str(d))
+    store = SnapshotStore(tmp_path / "store")
+    q = run_streaming_pipeline(
+        spark, str(d), store, str(tmp_path / "ck"), num_partitions=2,
+        near_dedup=True,
+    )
+    q.awaitTermination(300)
+
+    src = store.read(spark).filter("keep").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [("https://twin.example/s", src.clean_text + " extra tail words here")],
+        "url string, text string",
+    ).selectExpr(
+        "url", "cast('2024-01-01' as timestamp) as warc_ts",
+        "cast(null as binary) as html", "text", "'en' as lang",
+    )
+    twin.select(*pages.columns).coalesce(1).write.mode("append").parquet(str(d))
+    q2 = run_streaming_pipeline(
+        spark, str(d), store, str(tmp_path / "ck"), num_partitions=2,
+        near_dedup=True,
+    )
+    q2.awaitTermination(300)
+    row = store.read(spark).filter(F.col("url") == "https://twin.example/s").collect()[0]
+    assert row.keep is False and row.excl_type == "near_dup"
