@@ -78,6 +78,67 @@ def minhash_signature(
     )
 
 
+def _band_key_cols(num_bands: int, band_size: int, hash_impl: str) -> list:
+    """One key column per LSH band over the `mh` signature array — the
+    SINGLE definition both the full-corpus and incremental pair generators
+    use (their equivalence depends on bit-identical band keys)."""
+    if hash_impl == "xxhash64":
+        # numeric signatures: one JVM hash over the band's minhashes
+        return [
+            F.xxhash64(*[F.expr(f"mh[{b * band_size + r}]") for r in range(band_size)])
+            for b in range(num_bands)
+        ]
+    return [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.expr(f"mh[{b * band_size + r}]") for r in range(band_size)],
+            )
+        )
+        for b in range(num_bands)
+    ]
+
+
+def _cap_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop hot band buckets from pair generation (see minhash_lsh_pairs);
+    window count over the join key — one pass, same shuffle the join needs."""
+    if max_bucket is None:
+        return bands
+    wb = Window.partitionBy("band_ix", "band_key")
+    return (
+        bands.withColumn("_bn", F.count("*").over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
+def _verify_jaccard(
+    cand: DataFrame, sh_only: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs;
+    shingle arrays rejoin here, AFTER candidate dedup, so the band join
+    never carries them. Preserves any extra columns on `cand`."""
+    extra = [c for c in cand.columns if c not in ("id_a", "id_b")]
+    return (
+        cand.join(
+            sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", *extra)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -128,35 +189,13 @@ def minhash_lsh_pairs(
     # the band self-join moves ONLY (id, band) — the shingle arrays rejoin
     # after candidate dedup, so shuffles stay narrow (scale-critical: at
     # 10^12 docs the band join is the big shuffle and must not carry bodies)
-    if hash_impl == "xxhash64":
-        # numeric signatures: one JVM hash over the band's minhashes
-        band_cols = [
-            F.xxhash64(*[F.expr(f"mh[{b * band_size + r}]") for r in range(band_size)])
-            for b in range(num_bands)
-        ]
-    else:
-        band_cols = [
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.expr(f"mh[{b * band_size + r}]") for r in range(band_size)],
-                )
-            )
-            for b in range(num_bands)
-        ]
     bands = sig.select(
         "id",
-        F.posexplode(F.array(*band_cols)).alias("band_ix", "band_key"),
+        F.posexplode(
+            F.array(*_band_key_cols(num_bands, band_size, hash_impl))
+        ).alias("band_ix", "band_key"),
     )
-    if max_bucket is not None:
-        # window count over the join key: one pass, same shuffle the join
-        # needs anyway; hot buckets never reach pair generation
-        wb = Window.partitionBy("band_ix", "band_key")
-        bands = (
-            bands.withColumn("_bn", F.count("*").over(wb))
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+    bands = _cap_buckets(bands, max_bucket)
     left = bands.select(F.col("id").alias("id_a"), "band_ix", "band_key")
     right = bands.select(F.col("id").alias("id_b"), "band_ix", "band_key")
     cand = (
@@ -165,23 +204,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_only = sig.select("id", "sh")
-    cand = cand.join(
-        sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(
-        sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
-    )
-    jac = cand.withColumn(
-        "jaccard",
-        F.round(
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-            6,
-        ),
-    )
-    return jac.filter(F.col("jaccard") >= jaccard_threshold).select(
-        "id_a", "id_b", "jaccard"
-    )
+    return _verify_jaccard(cand, sig.select("id", "sh"), jaccard_threshold)
 
 
 # --- simhash (64-bit, token-level) ---
@@ -479,6 +502,7 @@ def incremental_minhash_pairs(
     new_index: DataFrame,
     committed_index: DataFrame | None,
     *,
+    num_hashes: int = 16,
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
     hash_impl: str = "md5",
@@ -490,8 +514,9 @@ def incremental_minhash_pairs(
     10^12 committed docs re-pairing the corpus per batch is the difference
     between an ingest pipeline and a full recompute).
 
-    Inputs are minhash_index frames (same num_hashes/shingle params).
-    Returns (id_a, id_b, jaccard, committed_side) where committed_side is
+    Inputs are minhash_index frames built with the SAME num_hashes/shingle
+    params passed here (the band expressions need num_hashes as a plan-time
+    constant). Returns (id_a, id_b, jaccard, committed_side) where committed_side is
     true when one endpoint is committed — the keep-first policy drops the
     NEW doc in that case (the committed doc already shipped), mirroring the
     store's exact text_sha resume dedup.
@@ -508,38 +533,17 @@ def incremental_minhash_pairs(
         if committed_index is not None
         else new_i
     )
-    # the band expressions need the signature length as a plan-time
-    # constant; read it from one signature (empty batch -> default 16)
-    num = new_index.select(F.size("mh").alias("n")).limit(1).collect()
-    k = num[0]["n"] if num else 16
-    num_bands = k // band_size
-    if hash_impl == "xxhash64":
-        band_cols = [
-            F.xxhash64(*[F.expr(f"mh[{b * band_size + r}]") for r in range(band_size)])
-            for b in range(num_bands)
-        ]
-    else:
-        band_cols = [
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.expr(f"mh[{b * band_size + r}]") for r in range(band_size)],
-                )
-            )
-            for b in range(num_bands)
-        ]
+    num_bands = num_hashes // band_size
     bands = both.select(
-        "id", "_new", F.posexplode(F.array(*band_cols)).alias("band_ix", "band_key")
+        "id",
+        "_new",
+        F.posexplode(
+            F.array(*_band_key_cols(num_bands, band_size, hash_impl))
+        ).alias("band_ix", "band_key"),
     )
     new_keys = bands.filter("_new").select("band_ix", "band_key").distinct()
     bands = bands.join(new_keys, ["band_ix", "band_key"], "left_semi")
-    if max_bucket is not None:
-        wb = Window.partitionBy("band_ix", "band_key")
-        bands = (
-            bands.withColumn("_bn", F.count("*").over(wb))
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+    bands = _cap_buckets(bands, max_bucket)
     a = bands.select(
         F.col("id").alias("id_a"), F.col("_new").alias("new_a"), "band_ix", "band_key"
     )
@@ -553,22 +557,6 @@ def incremental_minhash_pairs(
         .select("id_a", "id_b", (~(F.col("new_a") & F.col("new_b"))).alias("committed_side"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_only = both.select("id", "sh")
-    return (
-        cand.join(
-            sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-        )
-        .join(
-            sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard", "committed_side")
-    )
+    return _verify_jaccard(
+        cand, both.select("id", "sh"), jaccard_threshold
+    ).select("id_a", "id_b", "jaccard", "committed_side")

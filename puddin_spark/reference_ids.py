@@ -45,6 +45,12 @@ def with_global_row_number(
     but every stage is embarrassingly parallel — no `Exchange SinglePartition`
     wall at 10^12 rows.
 
+    REQUIRES non-null, unique order keys: the numbers join back to `df` on
+    the keys, so a NULL key row is silently DROPPED (null never equi-joins)
+    and duplicate keys multiply (k copies -> k*k output rows). Callers with
+    nullable or duplicated ordering columns must pre-filter/disambiguate
+    (e.g. append a unique tiebreaker column).
+
     Only a KEY-ONLY projection is range-partitioned and persisted
     (MEMORY_AND_DISK) — the persist is required so the count pass and the
     numbering pass see the SAME partition boundaries (Spark's range sampler

@@ -161,38 +161,62 @@ class SnapshotStore:
     def gc(self, *, staging_max_age_s: float = 3600.0) -> int:
         """Drop commit records and snapshot directories superseded by the
         latest base snapshot, plus unreferenced orphan directories (crashed
-        or commit-race-losing writers) and STALE staging. Returns the number
-        of snapshot directories removed. Run after compact(); not
-        concurrency-safe with in-flight readers of pre-base snapshots.
+        or commit-race-losing writers) and STALE staging / record-tmp
+        files. Returns the number of snapshot directories removed. Run
+        after compact(); not concurrency-safe with in-flight readers of
+        pre-base snapshots.
 
-        staging_max_age_s guards in-flight writers: a staging directory is
-        only reclaimed once untouched for that long (a live commit is
-        between its staging write and rename — deleting under it would lose
-        the batch). Pass 0 only when no writer can be running."""
+        staging_max_age_s guards in-flight writers everywhere a live commit
+        could be holding an artifact: staging trees (aged by their NEWEST
+        file — a parquet write in progress updates leaf files, not the top
+        dir), never-referenced snap dirs (a writer sits between rename and
+        record-link there), and leftover record tmp files. Superseded dirs
+        — referenced by the records being dropped — are deleted regardless
+        of age; they are committed history, not an in-flight write. Pass 0
+        only when no writer can be running."""
         import shutil
         import time
 
+        def tree_mtime(path) -> float:
+            newest = path.stat().st_mtime
+            for root, _, files in os.walk(path):
+                for f in files:
+                    newest = max(newest, os.stat(os.path.join(root, f)).st_mtime)
+            return newest
+
+        now = time.time()
+        all_records = self.commits()
         active_ids = {rec["snapshot_id"] for rec in self._active_commits()}
-        # keep directories by NAME from the records (orphans from losing
+        # keep-set by directory NAME from the records (orphans from losing
         # writers share a snapshot id with the winner but not a directory)
-        active_dirs = set()
-        for rec in self._active_commits():
+        active_dirs, superseded_dirs = set(), set()
+        for rec in all_records:
+            dirs = (
+                active_dirs if rec["snapshot_id"] in active_ids else superseded_dirs
+            )
             for kind in ("data_dir", "lineage_dir"):
                 d = rec.get(kind)
                 if d:
-                    active_dirs.add(d.split("/")[0])
+                    dirs.add(d.split("/")[0])
         removed = 0
         # records first: new readers stop referencing the old dirs
         for p in sorted((self.base / "_commits").glob("*.json")):
             if json.loads(p.read_text())["snapshot_id"] not in active_ids:
                 p.unlink()
+        for p in (self.base / "_commits").glob(".*.json.tmp"):
+            # crashed writers leak their per-writer tmp record
+            if now - p.stat().st_mtime >= staging_max_age_s:
+                p.unlink()
         for d in sorted(self.base.glob("snap-*")):
-            if d.name not in active_dirs:
+            if d.name in active_dirs:
+                continue
+            if d.name in superseded_dirs or (
+                now - tree_mtime(d) >= staging_max_age_s
+            ):
                 shutil.rmtree(d)
                 removed += 1
-        now = time.time()
         for d in (self.base / "_staging").iterdir():
-            if now - d.stat().st_mtime >= staging_max_age_s:
+            if now - tree_mtime(d) >= staging_max_age_s:
                 shutil.rmtree(d)
         return removed
 
@@ -374,24 +398,29 @@ def _apply_near_dedup(spark, store, verdicts, committed):
     IDX_KW = dict(num_hashes=16, shingle_k=3, shingle_mode="word")
     idx_store = SnapshotStore(store.base / "minhash_index")
     committed_idx = idx_store.read(spark)
-    # crash-lag recovery: committed kept docs absent from the index get
-    # re-indexed from their committed clean_text in this batch's commit
+    # crash-lag recovery, gated by two cheap count aggregates: only when
+    # the index is actually behind the committed kept set does the
+    # O(committed) anti-join + re-shingle run — the common consistent case
+    # stays at per-batch cost as documented
     lag_idx = None
     if committed is not None:
-        lag = committed.filter("keep").select("doc_id", "clean_text")
-        if committed_idx is not None:
-            lag = lag.join(
-                committed_idx.select(F.col("id").alias("doc_id")),
-                "doc_id",
-                "left_anti",
+        n_kept = committed.filter("keep").count()
+        n_indexed = committed_idx.count() if committed_idx is not None else 0
+        if n_indexed != n_kept:
+            lag = committed.filter("keep").select("doc_id", "clean_text")
+            if committed_idx is not None:
+                lag = lag.join(
+                    committed_idx.select(F.col("id").alias("doc_id")),
+                    "doc_id",
+                    "left_anti",
+                )
+            lag_idx = minhash_index(lag, "doc_id", "clean_text", **IDX_KW)
+            committed_idx = (
+                committed_idx.unionByName(lag_idx)
+                if committed_idx is not None
+                else lag_idx
             )
-        lag_idx = minhash_index(lag, "doc_id", "clean_text", **IDX_KW)
-        committed_idx = (
-            committed_idx.unionByName(lag_idx)
-            if committed_idx is not None
-            else lag_idx
-        )
-        if committed_idx.isEmpty():
+        if committed_idx is not None and committed_idx.isEmpty():
             committed_idx = None
 
     kept = verdicts.filter("keep").select("doc_id", "clean_text")
