@@ -21,6 +21,9 @@ the oracle sees the identical corpus).
 """
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1120,10 +1123,26 @@ from aug
 """
 
 
+_FIXTURE_DIR = Path(__file__).resolve().parent.parent / "tests" / "fixtures"
+
+
+def _model_golden_oracle(kind: str) -> str | None:
+    """Hard oracle for a model gate: DuckDB reads a committed golden parquet
+    frozen by tools/freeze_model_golden.py — a plain-Python, Spark-free
+    replay of the same deterministic model arithmetic over the same SF's
+    documents table. The models are pure functions, so the gate compares the
+    Spark iterator-UDF execution path (Arrow batches, executor singletons)
+    against an independent driver-side loop; any plumbing divergence breaks
+    the rows/schema/hash match. Returns None (rows-only fallback) only if no
+    golden exists for the SF under test."""
+    sf = Path(os.environ.get("PUDDIN_TEST_SF_DIR", "/root/testdata/sf0.01")).name
+    p = _FIXTURE_DIR / f"golden_model_{kind}_{sf}.parquet"
+    return f"select * from read_parquet('{p}')" if p.exists() else None
+
+
 def q_model_langid(spark, sf_dir):
     """Trigram-profile language ID (iterator UDF, per-executor singleton).
-    No SQL oracle — model inference is not SQL-expressible (driver records
-    the rows-only check)."""
+    Oracle: golden parquet via _model_golden_oracle('langid')."""
     from puddin_spark.models import langid_udf
 
     d = read_table(spark, sf_dir, "documents")
@@ -1134,7 +1153,8 @@ def q_model_langid(spark, sf_dir):
 
 
 def q_model_perplexity(spark, sf_dir):
-    """KenLM-style char-LM perplexity (iterator UDF, singleton). Rows-only."""
+    """KenLM-style char-LM perplexity (iterator UDF, singleton). Oracle:
+    golden parquet via _model_golden_oracle('perplexity')."""
     from puddin_spark.models import perplexity_udf
 
     d = read_table(spark, sf_dir, "documents")
@@ -1596,7 +1616,7 @@ SPARK_QUERIES = {
 
 
 def oracle_queries() -> dict[str, str]:
-    return {
+    out = {
         "langid_gate": O_LANGID_GATE,
         "classify_battery": O_CLASSIFY_BATTERY,
         "rule_hit_counts": O_RULE_HIT_COUNTS,
@@ -1642,6 +1662,11 @@ def oracle_queries() -> dict[str, str]:
         "events_sessionize": O_EVENTS_SESSIONIZE,
         "conllu_annotated": _oracle_conllu_annotated(),
         "lemma_stats_rollup": _oracle_lemma_stats(),
-        # model_langid / model_perplexity: no oracle — model inference is
-        # not SQL-expressible; the driver records a rows-only check
     }
+    # model gates: hard golden-parquet oracles (see _model_golden_oracle);
+    # omitted (rows-only fallback) only when no golden exists for the SF
+    for kind, name in (("langid", "model_langid"), ("perplexity", "model_perplexity")):
+        sql = _model_golden_oracle(kind)
+        if sql is not None:
+            out[name] = sql
+    return out

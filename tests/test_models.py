@@ -76,3 +76,28 @@ def test_repetition_ratio(spark):
     )
     rows = {r.doc_id: r.r for r in d.select("doc_id", repetition_ratio_col("text").alias("r")).collect()}
     assert rows[1] > 0.5 and rows[2] == 0.0
+
+
+def test_golden_model_fixtures_match_fresh_replay():
+    """Drift guard for the model-gate hard oracles: the committed golden
+    parquet (tools/freeze_model_golden.py) must equal a fresh plain-Python
+    replay of the model arithmetic. If models.py changes semantics, this
+    fails before the driver gate does — re-freeze deliberately."""
+    import sys
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    from freeze_model_golden import FIXTURE_DIR, compute_golden
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        sf = Path(sf_dir).name
+        fresh_lang, fresh_ppl = compute_golden(sf_dir)
+        frozen_lang = pq.read_table(FIXTURE_DIR / f"golden_model_langid_{sf}.parquet")
+        frozen_ppl = pq.read_table(
+            FIXTURE_DIR / f"golden_model_perplexity_{sf}.parquet"
+        )
+        assert frozen_lang.equals(fresh_lang), f"langid golden drifted at {sf}"
+        assert frozen_ppl.equals(fresh_ppl), f"perplexity golden drifted at {sf}"
