@@ -65,7 +65,12 @@ def cmd_run(args) -> int:
                 from puddin_spark.sinks import write_conllu_rendered
                 from puddin_spark.snapshots import record_failures
 
-                sk, failures = conllu_with_failures(sents)
+                # the annotation intermediate checkpoints under dest so the
+                # write-once/read-twice pass survives inspection and reruns
+                # supersede (base commits) instead of accumulating
+                sk, failures = conllu_with_failures(
+                    sents, store=f"{args.dest}/anno_intermediate"
+                )
                 write_conllu_rendered(
                     sk, f"{args.dest}/conllu", num_slices=args.partitions
                 )

@@ -393,6 +393,24 @@ def ngram_jaccard_pairs(
     )
 
 
+def free_local_checkpoints(df: DataFrame) -> None:
+    """Release the executor storage blocks behind any localCheckpoint()ed
+    ancestor of `df` (walks the analyzed plan's leaves for LogicalRDD nodes).
+    DataFrame.unpersist cannot reach these: Dataset.localCheckpoint persists
+    an internal RDD, not the Dataset. Call ONLY once nothing will recompute
+    from the checkpoint — its lineage is truncated, so the blocks are the
+    sole copy. Best-effort: plan-shape or API drift degrades to the default
+    behavior (ContextCleaner frees the blocks when the driver GCs the RDD)."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def resolve_duplicate_clusters(
     pairs: DataFrame, *, max_iterations: int = 20
 ) -> DataFrame:
@@ -410,6 +428,14 @@ def resolve_duplicate_clusters(
     driver loop runs one cheap count per round for convergence and raises
     after max_iterations (a pathological 10^12-long chain is a data bug,
     not a workload). Deterministic: min() has no ties.
+
+    Storage contract: each round's checkpoint blocks are freed as soon as
+    the next round lands (free_local_checkpoints), so executor storage
+    holds at most two rounds of (id, label) pairs at any moment regardless
+    of iteration count. The RETURNED DataFrame is backed by the final
+    round's checkpoint; its blocks release when the caller drops the frame
+    (ContextCleaner), or immediately via free_local_checkpoints(result)
+    once the caller has materialized everything derived from it.
     """
     edges = (
         pairs.selectExpr("id_a as src", "id_b as dst")
@@ -449,6 +475,10 @@ def resolve_duplicate_clusters(
                 .filter("n.label != o.label")
                 .count()
             )
+            # the prior round's checkpoint blocks are dead weight the moment
+            # `changed` is computed — free them instead of leaking one
+            # round's worth of executor storage per iteration
+            free_local_checkpoints(labels)
             labels = new_labels
             if changed == 0:
                 return labels.select("id", F.col("label").alias("root"))

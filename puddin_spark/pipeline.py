@@ -14,10 +14,10 @@ Scale posture (north_rule):
 - explicit repartition by url-hash before the heavy UDF stage gives uniform
   work units (reference analog: 9,999-doc slices, parse_pile.py:34) and
   avoids inheriting skewed upstream partitioning;
-- dedup keep-first is a window over (text) ordered by (warc_ts, url): a
-  single hash shuffle on the full text. At 10^12 docs, swap the window key
-  for sha2(text) via dedup_exact (operators/dedup.py) so the shuffle moves
-  32-byte digests, not documents — semantics identical, both first-wins.
+- dedup keep-first is a window over sha2(text) ordered by (warc_ts, url): a
+  single hash shuffle that moves 32-byte digests, never document bodies —
+  the shape that survives 10^12 docs (semantics identical to a raw-text
+  window; both first-wins on the same text equality).
 """
 from __future__ import annotations
 
@@ -37,10 +37,18 @@ def doc_id_col(url: Column | str = "url") -> Column:
     return F.sha2(F.col(url) if isinstance(url, str) else url, 256)
 
 
-def dedup_first(pages: DataFrame, key: str = "text") -> DataFrame:
+def dedup_first(pages: DataFrame, key: Column | str | None = None) -> DataFrame:
     """Deterministic keep-first exact dedup (reference: drop_duplicates on
     raw, parse_pile.py:588). 'First' = min (warc_ts, url) — explicit order,
-    unlike pandas' implicit ingest order, so it's stable under parallelism."""
+    unlike pandas' implicit ingest order, so it's stable under parallelism.
+
+    Default key is sha2(text, 256): the window's hash shuffle then moves
+    32-byte digests instead of multi-KB document bodies — semantics
+    identical (both first-wins on the same text equality), shuffle ~100x
+    narrower at web scale. Pass key='text' only when an external system
+    must see the raw column as the partition expression."""
+    if key is None:
+        key = F.sha2("text", 256)
     w = Window.partitionBy(key).orderBy("warc_ts", "url")
     return (
         pages.withColumn("_rn", F.row_number().over(w))
@@ -168,7 +176,7 @@ def sentence_table(verdicts: DataFrame) -> DataFrame:
 
 
 def conllu_with_failures(
-    sentences: DataFrame, *, annotate_factory=None
+    sentences: DataFrame, *, annotate_factory=None, store=None
 ) -> tuple[DataFrame, DataFrame]:
     """Annotated CoNLL-U rendering with the reference's F9 `fail` semantics:
     a document where ANY sentence's annotation raises is dropped from the
@@ -178,26 +186,36 @@ def conllu_with_failures(
     snapshots.record_failures to land the verdict flip).
 
     Returns (conllu_df(doc_id, sent_num, conllu), failures_df(doc_id,
-    excl_type='fail', anno_error)). Both derive from ONE persisted
-    annotation pass (annotation runs once, like the reference's single parse
-    loop); the intermediate is MEMORY_AND_DISK and unpersists with the
-    session.
+    excl_type='fail', anno_error)). Annotation runs exactly ONCE (the
+    reference's single parse loop): the annotated sentence table is
+    committed to a SnapshotStore and both the ok and failures splits scan
+    the committed parquet — write once, read twice. Nothing is pinned in
+    executor storage, so at 100x the corpus the annotation intermediate
+    lives on (shared) disk instead of competing with shuffle memory, and a
+    long-lived session accumulates no cache across repeated calls.
+
+    `store` is a SnapshotStore or path for the intermediate (committed
+    base=True, so repeated runs supersede rather than union); default is a
+    driver-local temp dir — pass a shared-storage path on a real cluster.
     """
-    from pyspark import StorageLevel
+    import tempfile
 
     from puddin_spark.annotate import make_annotate_safe_udf
+    from puddin_spark.snapshots import SnapshotStore
     from puddin_spark.udfs import tokenize_udf
 
     safe = make_annotate_safe_udf(annotate_factory)
-    annotated = (
-        sentences.withColumn("_r", safe(tokenize_udf("sent_text")))
-        .select(
-            *sentences.columns,
-            F.col("_r.anno").alias("_anno"),
-            F.col("_r.error").alias("_err"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    annotated = sentences.withColumn("_r", safe(tokenize_udf("sent_text"))).select(
+        *sentences.columns,
+        F.col("_r.anno").alias("_anno"),
+        F.col("_r.error").alias("_err"),
     )
+    if store is None:
+        store = SnapshotStore(tempfile.mkdtemp(prefix="puddin_anno_"))
+    elif not isinstance(store, SnapshotStore):
+        store = SnapshotStore(store)
+    store.commit(annotated, base=True)
+    annotated = store.read(sentences.sparkSession)
     failures = (
         annotated.filter(F.col("_err").isNotNull())
         .groupBy("doc_id")

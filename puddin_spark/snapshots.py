@@ -390,6 +390,7 @@ def _apply_near_dedup(spark, store, verdicts, committed):
     (updated_verdicts, index_of_survivors, index_store). See
     run_resumable_pipeline(near_dedup=True)."""
     from puddin_spark.operators.dedup import (
+        free_local_checkpoints,
         incremental_minhash_pairs,
         minhash_index,
         resolve_duplicate_clusters,
@@ -440,17 +441,19 @@ def _apply_near_dedup(spark, store, verdicts, committed):
         )
     )
     new_new = pairs.filter("not committed_side").select("id_a", "id_b")
+    clusters = None
     if not new_new.isEmpty():
-        losers = (
-            resolve_duplicate_clusters(new_new)
-            .filter("id != root")
-            .select(F.col("id").alias("doc_id"))
+        clusters = resolve_duplicate_clusters(new_new)
+        drops = drops.unionByName(
+            clusters.filter("id != root").select(F.col("id").alias("doc_id"))
         )
-        drops = drops.unionByName(losers)
-    # materialize the (tiny) drop set, then free the pair cache — nothing
-    # downstream re-reads pairs
+    # materialize the (tiny) drop set, then free the pair cache and the
+    # cluster resolution's final checkpoint — nothing downstream re-reads
+    # either (drops' own eager checkpoint is the only surviving copy)
     drops = drops.distinct().localCheckpoint()
     pairs.unpersist()
+    if clusters is not None:
+        free_local_checkpoints(clusters)
     drops = drops.withColumn("_nd", F.lit(True))
     updated = (
         verdicts.join(drops, "doc_id", "left")

@@ -388,3 +388,32 @@ def test_incremental_minhash_pairs(spark):
     }
     got = {(p.id_a, p.id_b, p.jaccard) for p in pairs}
     assert got == want
+
+
+def test_resolve_clusters_frees_round_checkpoints(spark):
+    """Iterative label propagation must not leak one checkpoint per round:
+    after convergence at most the FINAL round's blocks remain persisted, and
+    free_local_checkpoints releases those too (ADVICE r2)."""
+    from puddin_spark.operators.dedup import (
+        free_local_checkpoints,
+        resolve_duplicate_clusters,
+    )
+
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    # a 13-node chain: needs several propagation rounds to converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    res = resolve_duplicate_clusters(pairs)
+    rows = res.collect()
+    assert len(rows) == 13 and all(r.root == 0 for r in rows)
+    new_ids = [
+        i for i in sc._jsc.sc().getRDDStorageInfo() if i.id() not in before
+    ]
+    assert len(new_ids) <= 1, [i.name() for i in new_ids]
+    free_local_checkpoints(res)
+    new_ids = [
+        i for i in sc._jsc.sc().getRDDStorageInfo() if i.id() not in before
+    ]
+    assert not new_ids

@@ -52,6 +52,28 @@ def test_exact_dedup_shuffles_digest_not_body(spark):
     assert "sha2" in plan and "hashpartitioning" in plan
 
 
+def test_dedup_first_default_partitions_on_digest(spark, tmp_path):
+    """The pipeline's default keep-first window must hash-partition on the
+    sha2(text) projection, not the raw text column — at 10^12 docs the
+    difference is shuffling 32-byte digests vs multi-KB bodies."""
+    import re
+
+    from puddin_spark.pipeline import dedup_first
+    from puddin_spark.synth import synth_pages_local
+
+    synth_pages_local(spark, 50).write.parquet(str(tmp_path / "pages"))
+    pages = spark.read.parquet(str(tmp_path / "pages"))
+    plan = _plan(dedup_first(pages))
+    m = re.search(r"Exchange hashpartitioning\((\w+)#\d+", plan)
+    assert m, plan[:1500]
+    key = m.group(1)
+    if key != "text":
+        # projected window expression: its definition must be the digest
+        assert re.search(rf"sha2\([^)]*text#\d+[^)]*\), 256\) AS {key}#", plan), plan[:2500]
+    else:
+        raise AssertionError("dedup window shuffles the raw text column:\n" + plan[:1500])
+
+
 def test_slice_assignment_no_single_partition_sort(spark):
     """Global id assignment must be the two-phase partition-offset scheme:
     no Exchange SinglePartition (the 100-TB straggler wall) anywhere in the
