@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
 
 
 def _pages(spark, path: str, subset: str):
@@ -190,6 +191,31 @@ def cmd_overview(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Store maintenance: compact + gc the verdict store AND its near-dedup
+    sidecars (minhash_index, minhash_bands) — the Iceberg
+    rewrite_data_files + expire_snapshots lifecycle. Long-lived incremental
+    runs accumulate one snapshot per batch in all three stores; this resets
+    read/commit cost to O(1). partition specs are preserved by compact()."""
+    from puddin_spark.session import get_spark
+    from puddin_spark.snapshots import SnapshotStore
+
+    spark = get_spark(master=args.master, app_name="puddin_spark.compact")
+    out = {}
+    for name in ("verdicts", "verdicts/minhash_index", "verdicts/minhash_bands"):
+        base = Path(args.dest) / name
+        commits = base / "_commits"
+        if not commits.exists() or not any(commits.glob("*.json")):
+            continue
+        st = SnapshotStore(base)
+        sid = st.compact(spark)
+        removed = st.gc(staging_max_age_s=args.gc_age)
+        out[name] = {"snapshot_id": sid, "dirs_removed": removed}
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="puddin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -198,6 +224,7 @@ def main(argv: list[str] | None = None) -> int:
         ("validate", cmd_validate),
         ("stats", cmd_stats),
         ("overview", cmd_overview),
+        ("compact", cmd_compact),
     ]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
@@ -207,6 +234,16 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--subset", default="Pile-CC")
         if name in ("run", "validate"):
             sp.add_argument("-i", "--input", required=True)
+        if name == "compact":
+            sp.add_argument(
+                "--gc-age",
+                type=float,
+                default=3600.0,
+                dest="gc_age",
+                help="gc staging_max_age_s: minimum age (s) before orphan"
+                " staging/snapshot dirs are collected; 0 only when no"
+                " writer can be running",
+            )
         if name == "validate":
             sp.add_argument(
                 "--known-fail",

@@ -528,6 +528,36 @@ def minhash_index(
     )
 
 
+def band_table(
+    index: DataFrame,
+    *,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Exploded LSH band rows (id, band_ix, band_key, band_pfx) from a
+    minhash_index frame — the persistable join side of the incremental
+    near-dedup path. band_pfx is a 16-way prefix of the band key, always
+    letter-prefixed ('p0'..'pf') so directory-partitioned parquet never
+    infers a numeric partition type across commits. Write this next to the
+    index with partition_by=['band_pfx']: an incremental batch then filters
+    the committed bands to its OWN prefixes and the scan prunes whole
+    partition directories instead of reading the full committed index
+    (at 10^12 committed docs the band table is the per-batch read cost)."""
+    num_bands = num_hashes // band_size
+    bands = index.select(
+        "id",
+        F.posexplode(
+            F.array(*_band_key_cols(num_bands, band_size, hash_impl))
+        ).alias("band_ix", "band_key"),
+    )
+    if hash_impl == "xxhash64":
+        pfx = F.concat(F.lit("p"), F.lower(F.hex(F.pmod("band_key", F.lit(16)))))
+    else:
+        pfx = F.concat(F.lit("p"), F.substring("band_key", 1, 1))
+    return bands.withColumn("band_pfx", pfx)
+
+
 def incremental_minhash_pairs(
     new_index: DataFrame,
     committed_index: DataFrame | None,
@@ -537,6 +567,8 @@ def incremental_minhash_pairs(
     jaccard_threshold: float = 0.5,
     hash_impl: str = "md5",
     max_bucket: int | None = None,
+    new_bands: DataFrame | None = None,
+    committed_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for an INCREMENTAL ingest: every pair touches at
     least one NEW document — new-vs-committed and new-vs-new, never
@@ -556,20 +588,39 @@ def incremental_minhash_pairs(
     the shuffle carries committed (id, band) rows only for keys the batch
     actually produced); shingles rejoin for exact verification on the
     surviving candidates only.
+
+    new_bands / committed_bands optionally supply PRECOMPUTED band_table()
+    frames (same num_hashes/band_size/hash_impl) instead of re-deriving
+    bands from the signatures: pass the persisted, band_pfx-partitioned
+    committed band table — filtered to the batch's own prefixes — and the
+    committed side's scan prunes files instead of recomputing 8 band keys
+    per committed document per batch. Results are identical: a committed
+    band row outside the batch's prefix set cannot equal any new band key.
     """
-    new_i = new_index.withColumn("_new", F.lit(True))
-    both = (
-        new_i.unionByName(committed_index.withColumn("_new", F.lit(False)))
-        if committed_index is not None
-        else new_i
+    if new_bands is None:
+        new_bands = band_table(
+            new_index, num_hashes=num_hashes, band_size=band_size, hash_impl=hash_impl
+        )
+    bands = new_bands.select("id", "band_ix", "band_key").withColumn(
+        "_new", F.lit(True)
     )
-    num_bands = num_hashes // band_size
-    bands = both.select(
-        "id",
-        "_new",
-        F.posexplode(
-            F.array(*_band_key_cols(num_bands, band_size, hash_impl))
-        ).alias("band_ix", "band_key"),
+    if committed_index is not None:
+        if committed_bands is None:
+            committed_bands = band_table(
+                committed_index,
+                num_hashes=num_hashes,
+                band_size=band_size,
+                hash_impl=hash_impl,
+            )
+        bands = bands.unionByName(
+            committed_bands.select("id", "band_ix", "band_key").withColumn(
+                "_new", F.lit(False)
+            )
+        )
+    both = (
+        new_index.select("id", "sh").unionByName(committed_index.select("id", "sh"))
+        if committed_index is not None
+        else new_index
     )
     new_keys = bands.filter("_new").select("band_ix", "band_key").distinct()
     bands = bands.join(new_keys, ["band_ix", "band_key"], "left_semi")

@@ -84,16 +84,27 @@ class SnapshotStore:
     # --- write path ---
 
     def commit(
-        self, data: DataFrame, lineage: DataFrame | None = None, *, base: bool = False
+        self,
+        data: DataFrame,
+        lineage: DataFrame | None = None,
+        *,
+        base: bool = False,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Atomically append one snapshot (data + optional lineage).
         base=True marks a compaction snapshot that supersedes all earlier
-        ones (readers start from the latest base). Raises
-        ConcurrentWriteError if another writer landed the same snapshot id
-        first — link(2) is the O_EXCL of the commit protocol."""
+        ones (readers start from the latest base). partition_by writes the
+        data directory-partitioned on those columns (Iceberg partition-spec
+        analog) so readers filtering on them prune files; compact()
+        preserves the latest commit's spec. Raises ConcurrentWriteError if
+        another writer landed the same snapshot id first — link(2) is the
+        O_EXCL of the commit protocol."""
         token = uuid.uuid4().hex
         staging = self.base / "_staging" / token
-        data.write.mode("overwrite").parquet(str(staging / "data"))
+        writer = data.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(staging / "data"))
         if lineage is not None:
             lineage.write.mode("overwrite").parquet(str(staging / "lineage"))
 
@@ -119,6 +130,7 @@ class SnapshotStore:
             "data_dir": snap_dir.name + "/data",
             "lineage_dir": (snap_dir.name + "/lineage") if lineage is not None else None,
             "base": base,
+            "partition_by": partition_by or None,
         }
         # per-writer tmp record: a shared name would let the loser unlink
         # the winner's tmp mid-protocol
@@ -147,7 +159,9 @@ class SnapshotStore:
         if data is None:
             return -1
         lineage = self.read_lineage(spark)
-        return self.commit(data, lineage, base=True)
+        recs = self._active_commits()
+        part = recs[-1].get("partition_by") if recs else None
+        return self.commit(data, lineage, base=True, partition_by=part)
 
     def rollback(self, spark: SparkSession, to_snapshot: int) -> int:
         """Restore the table to a historical state by committing it as a new
@@ -156,7 +170,9 @@ class SnapshotStore:
         Returns the new snapshot id."""
         data = self.read(spark, as_of=to_snapshot)
         lineage = self.read_lineage(spark, as_of=to_snapshot)
-        return self.commit(data, lineage, base=True)
+        recs = self._active_commits(to_snapshot)
+        part = recs[-1].get("partition_by") if recs else None
+        return self.commit(data, lineage, base=True, partition_by=part)
 
     def gc(self, *, staging_max_age_s: float = 3600.0) -> int:
         """Drop commit records and snapshot directories superseded by the
@@ -230,17 +246,33 @@ class SnapshotStore:
                 out.append(str(self.base / d))
         return out
 
+    def _read_kind(
+        self, spark: SparkSession, kind: str, as_of: int | None
+    ) -> DataFrame | None:
+        recs = [r for r in self._active_commits(as_of) if r.get(f"{kind}_dir")]
+        if not recs:
+            return None
+        dirs = [str(self.base / r[f"{kind}_dir"]) for r in recs]
+        if any(r.get("partition_by") for r in recs):
+            # directory-partitioned snapshots: each snapshot dir is its own
+            # partition-discovery root (Spark rejects multi-root discovery),
+            # so load per-dir and union — filters still push through Union
+            # into every branch's scan, so partition pruning is preserved
+            out = spark.read.parquet(dirs[0])
+            for d in dirs[1:]:
+                out = out.unionByName(spark.read.parquet(d))
+            return out
+        return spark.read.parquet(*dirs)
+
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame | None:
         """Current table state, or — with as_of — the state as of that
         snapshot id (time travel; raises on an unknown/gc'd id)."""
-        dirs = self._dirs("data", as_of)
-        return spark.read.parquet(*dirs) if dirs else None
+        return self._read_kind(spark, "data", as_of)
 
     def read_lineage(
         self, spark: SparkSession, as_of: int | None = None
     ) -> DataFrame | None:
-        dirs = self._dirs("lineage", as_of)
-        return spark.read.parquet(*dirs) if dirs else None
+        return self._read_kind(spark, "lineage", as_of)
 
     # --- resume ---
 
@@ -300,7 +332,31 @@ def record_failures(
     lineage = lineage_table(updated, num_partitions=num_partitions).withColumn(
         "snapshot_id", F.lit(store.current_snapshot_id() + 1)
     )
-    return store.commit(updated, lineage, base=True)
+    snap_id = store.commit(updated, lineage, base=True)
+    _prune_near_dedup_sidecar(spark, store, updated)
+    return snap_id
+
+
+def _prune_near_dedup_sidecar(spark, store: SnapshotStore, verdicts: DataFrame) -> None:
+    """Keep the near-dedup index consistent with a verdict flip: entries
+    for now-excluded docs would otherwise keep dropping future newcomers as
+    near-dups of documents no longer in the corpus — both copies lost — and
+    the ingest-time reconciliation gate would re-fire forever. Prunes the
+    signature index to the current kept id set as a base commit; the band
+    table (a derived cache) is left to its row-count gate, which rebuilds
+    it from the pruned index by projection on the next ingest. No-op when
+    the store has no sidecar (near_dedup was never enabled)."""
+    idx_base = store.base / "minhash_index"
+    if not (idx_base / "_commits").exists() or not any(
+        (idx_base / "_commits").glob("*.json")
+    ):
+        return
+    idx_store = SnapshotStore(idx_base)
+    idx = idx_store.read(spark)
+    if idx is None:
+        return
+    kept = verdicts.filter("keep").select(F.col("doc_id").alias("id"))
+    idx_store.commit(idx.join(kept, "id", "left_semi"), base=True)
 
 
 def run_resumable_pipeline(
@@ -317,16 +373,23 @@ def run_resumable_pipeline(
     near_dedup=True additionally fuzzy-dedups each batch against every
     PRIOR batch: a minhash index (shingles + signatures of surviving kept
     docs) is maintained in a sibling snapshot store at <base>/minhash_index,
-    new docs near-duplicating an indexed doc — or losing keep-first within
-    the batch's own near-dup clusters — flip to keep=false with
+    with its exploded LSH band table — directory-partitioned by band-key
+    prefix for per-batch file pruning — in <base>/minhash_bands. New docs
+    near-duplicating an indexed doc — or losing keep-first within the
+    batch's own near-dup clusters — flip to keep=false with
     excl_type='near_dup' BEFORE the commit, and only survivors join the
     index. Per-batch cost scales with the batch (the committed corpus is
-    never re-shingled or re-paired; incremental_minhash_pairs). This is the
+    never re-shingled or re-paired, and the band scan reads only the
+    batch's prefix partitions; incremental_minhash_pairs). This is the
     near-dup analog of the exact text_sha resume dedup below; off by
     default because 'near_dup' is a graft-axis label the reference doesn't
-    emit. If a crash lands the verdict commit but not the index commit, the
-    next run re-indexes the missing kept docs from their committed
-    clean_text (eventual index consistency without a 2-phase commit).
+    emit. Consistency is self-healing without a 2-phase commit: a
+    (count, xor-of-ids) gate reconciles the index against the committed
+    kept set in BOTH directions (crash-lag re-index AND stale-entry prune
+    after record_failures/rollback), landed as a base commit so the repair
+    runs once; the band cache rebuilds from the index by projection. Both
+    sidecars share the verdict store's compact()/gc() lifecycle (CLI
+    `compact` runs all three).
 
     Returns (snapshot_id, n_new_docs); snapshot_id is -1 when there was
     nothing new (no empty commits — rerun after success is a no-op, the
@@ -361,9 +424,9 @@ def run_resumable_pipeline(
         n_new = verdicts.count()
         if n_new == 0:
             return -1, 0
-        idx_store = None
+        idx_store = bands_store = None
         if near_dedup:
-            verdicts, new_idx, idx_store = _apply_near_dedup(
+            verdicts, new_idx, idx_store, bands_store = _apply_near_dedup(
                 spark, store, verdicts, committed
             )
             verdicts = verdicts.persist()
@@ -374,8 +437,22 @@ def run_resumable_pipeline(
         snap_id = store.commit(verdicts, lineage)
         if near_dedup and new_idx is not None:
             # index lands AFTER the verdict commit (see docstring for the
-            # crash-lag recovery); only this batch's surviving kept docs
+            # crash-lag recovery); only this batch's surviving kept docs.
+            # Bands land last (pure derived cache; a crash between these
+            # two commits is caught by the row-count gate next batch).
+            from puddin_spark.operators.dedup import (
+                band_table,
+                free_local_checkpoints,
+            )
+
             idx_store.commit(new_idx)
+            bands_store.commit(
+                band_table(new_idx, **_ND_BAND_KW), partition_by=["band_pfx"]
+            )
+            # all sidecar readers are committed: release the batch's
+            # signature checkpoint and the drop-set checkpoint blocks
+            free_local_checkpoints(new_idx)
+            free_local_checkpoints(verdicts)
         return snap_id, n_new
     finally:
         verdicts.unpersist()
@@ -385,49 +462,116 @@ def run_resumable_pipeline(
             seen.unpersist()
 
 
+# near-dedup sidecar parameters — ONE definition; the index, its band
+# table, and the incremental pair generation must agree bit-for-bit
+_ND_IDX_KW = dict(num_hashes=16, shingle_k=3, shingle_mode="word")
+_ND_BAND_KW = dict(num_hashes=16, band_size=2, hash_impl="md5")
+_ND_NUM_BANDS = _ND_BAND_KW["num_hashes"] // _ND_BAND_KW["band_size"]
+
+
+def _id_set_stats(df, col: str) -> tuple[int, int]:
+    """(count, order-independent xor fingerprint) of an id column — two
+    cheap column-scan aggregates that detect MEMBERSHIP differences, not
+    just size drift (a rollback can restore an equal-sized but different
+    kept set; a count-only gate would miss it and stale index entries would
+    keep dropping newcomers)."""
+    row = df.select(
+        F.count("*").alias("n"), F.expr(f"bit_xor(xxhash64({col}))").alias("fp")
+    ).first()
+    return row.n, row.fp if row.fp is not None else 0
+
+
 def _apply_near_dedup(spark, store, verdicts, committed):
     """Flip near-dup newcomers to keep=false/excl_type='near_dup'; return
-    (updated_verdicts, index_of_survivors, index_store). See
+    (updated_verdicts, index_of_survivors, index_store, bands_store). See
     run_resumable_pipeline(near_dedup=True)."""
     from puddin_spark.operators.dedup import (
+        band_table,
         free_local_checkpoints,
         incremental_minhash_pairs,
         minhash_index,
         resolve_duplicate_clusters,
     )
 
-    IDX_KW = dict(num_hashes=16, shingle_k=3, shingle_mode="word")
     idx_store = SnapshotStore(store.base / "minhash_index")
+    bands_store = SnapshotStore(store.base / "minhash_bands")
     committed_idx = idx_store.read(spark)
-    # crash-lag recovery, gated by two cheap count aggregates: only when
-    # the index is actually behind the committed kept set does the
-    # O(committed) anti-join + re-shingle run — the common consistent case
-    # stays at per-batch cost as documented
-    lag_idx = None
     if committed is not None:
-        n_kept = committed.filter("keep").count()
-        n_indexed = committed_idx.count() if committed_idx is not None else 0
-        if n_indexed != n_kept:
-            lag = committed.filter("keep").select("doc_id", "clean_text")
-            if committed_idx is not None:
-                lag = lag.join(
-                    committed_idx.select(F.col("id").alias("doc_id")),
-                    "doc_id",
-                    "left_anti",
-                )
-            lag_idx = minhash_index(lag, "doc_id", "clean_text", **IDX_KW)
-            committed_idx = (
-                committed_idx.unionByName(lag_idx)
+        # index<->corpus reconciliation, gated by cheap (count, xor-of-ids)
+        # aggregates on both sides. BOTH directions repair here, landed as a
+        # BASE commit so the fix runs once, not on every subsequent batch:
+        # - stale entries (docs flipped keep=false by record_failures /
+        #   rollback / near-dup) are PRUNED — left in place they'd drop
+        #   future newcomers as near-dups of excluded docs (both copies
+        #   lost);
+        # - missing entries (crash between the verdict and index commits)
+        #   are re-indexed from committed clean_text.
+        kept_committed = committed.filter("keep")
+        n_kept, fp_kept = _id_set_stats(kept_committed, "doc_id")
+        n_idx, fp_idx = (
+            _id_set_stats(committed_idx, "id")
+            if committed_idx is not None
+            else (0, 0)
+        )
+        if (n_idx, fp_idx) != (n_kept, fp_kept):
+            kept_ids = kept_committed.select(F.col("doc_id").alias("id"))
+            pruned = (
+                committed_idx.join(kept_ids, "id", "left_semi")
                 if committed_idx is not None
-                else lag_idx
+                else None
             )
+            lag = kept_committed.select("doc_id", "clean_text")
+            if pruned is not None:
+                lag = lag.join(
+                    pruned.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+                )
+            lag_idx = minhash_index(lag, "doc_id", "clean_text", **_ND_IDX_KW)
+            reconciled = (
+                lag_idx if pruned is None else pruned.unionByName(lag_idx)
+            )
+            idx_store.commit(reconciled, base=True)
+            committed_idx = idx_store.read(spark)
         if committed_idx is not None and committed_idx.isEmpty():
             committed_idx = None
 
+    committed_bands = None
+    if committed_idx is not None:
+        # the persisted band table is a pure DERIVED cache of the index
+        # (band keys only — rebuilt by projection, never by re-shingling);
+        # a row-count gate detects lag from a crash between the index and
+        # bands commits, or an index prune above
+        committed_bands = bands_store.read(spark)
+        n_idx = committed_idx.count()
+        n_bands = committed_bands.count() if committed_bands is not None else -1
+        if n_bands != n_idx * _ND_NUM_BANDS:
+            bands_store.commit(
+                band_table(committed_idx, **_ND_BAND_KW),
+                base=True,
+                partition_by=["band_pfx"],
+            )
+            committed_bands = bands_store.read(spark)
+
     kept = verdicts.filter("keep").select("doc_id", "clean_text")
-    new_idx = minhash_index(kept, "doc_id", "clean_text", **IDX_KW)
+    # localCheckpoint: ONE shingling pass serves prefix discovery, the pair
+    # join, and the survivors commit (blocks freed by the caller once the
+    # index commit lands)
+    new_idx = minhash_index(kept, "doc_id", "clean_text", **_ND_IDX_KW).localCheckpoint()
+    new_bands = band_table(new_idx, **_ND_BAND_KW)
+    if committed_bands is not None:
+        # static prefix pruning: committed bands are directory-partitioned
+        # by band_pfx, so filtering to the BATCH's own prefixes (<=16
+        # values, collected from the checkpointed new bands) prunes whole
+        # partitions from the scan — the per-batch read cost tracks the
+        # batch, not the corpus
+        pfx = [r[0] for r in new_bands.select("band_pfx").distinct().collect()]
+        committed_bands = committed_bands.filter(F.col("band_pfx").isin(pfx))
     pairs = incremental_minhash_pairs(
-        new_idx, committed_idx, band_size=2, jaccard_threshold=0.5
+        new_idx,
+        committed_idx,
+        band_size=_ND_BAND_KW["band_size"],
+        jaccard_threshold=0.5,
+        new_bands=new_bands,
+        committed_bands=committed_bands,
     ).persist()
     new_ids = kept.select(F.col("doc_id").alias("id"))
     vs_committed = pairs.filter("committed_side")
@@ -470,6 +614,4 @@ def _apply_near_dedup(spark, store, verdicts, committed):
     survivors_idx = new_idx.join(
         drops.select(F.col("doc_id").alias("id")), "id", "left_anti"
     )
-    if lag_idx is not None:
-        survivors_idx = survivors_idx.unionByName(lag_idx)
-    return updated, survivors_idx, idx_store
+    return updated, survivors_idx, idx_store, bands_store
