@@ -64,6 +64,7 @@ def quality_pipeline(
     dedup: bool = True,
     num_partitions: int | None = None,
     pii_scrub: bool = False,
+    with_timing: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> per-document verdict table
     (doc_id, url, warc_ts, lang, clean_text, keep, excl_type).
@@ -71,6 +72,12 @@ def quality_pipeline(
     Dropped docs keep their excl_type label (the reference's exclusions df,
     parse_pile.py:988-990) — keep and drop sides live in one table, split by
     the `keep` flag (SURVEY.md section 1.4).
+
+    with_timing appends a `proc_ts` column (epoch seconds stamped per Arrow
+    batch INSIDE the same Python pass as the scrub/classify UDF) so
+    lineage_table can report per-partition started_at/finished_at/duration_s
+    — the reference's slice timing lineage. Drop it before publishing
+    (run_resumable_pipeline does) to keep the verdict schema contract.
     """
     df = pages.filter(F.col("lang") == selected_lang)
     # prune early: html bytes never reach the Python workers
@@ -99,6 +106,10 @@ def quality_pipeline(
         # partitions (balls-in-bins: ~37% empty, stragglers elsewhere)
         df = df.repartition(num_partitions, F.col("url"))
     out = df.withColumn("_res", process_udf(F.col("text")))
+    if with_timing:
+        from puddin_spark.udfs import batch_ts_udf
+
+        out = out.withColumn("_pts", batch_ts_udf(F.col("text")))
     clean = F.col("_res.clean_text")
     if pii_scrub:
         # graft-axis PII/toxicity masking AFTER the parity scrub (rules
@@ -115,8 +126,10 @@ def quality_pipeline(
         clean.alias("clean_text"),
         F.col("_res.excl_type").isNull().alias("keep"),
         F.col("_res.excl_type").alias("excl_type"),
+        *([F.col("_pts").alias("proc_ts")] if with_timing else []),
     )
-    assert result.columns == OUTPUT_COLS  # the published schema contract
+    expected = OUTPUT_COLS + (["proc_ts"] if with_timing else [])
+    assert result.columns == expected  # the published schema contract
     return result
 
 
@@ -129,34 +142,62 @@ def lineage_table(verdicts: DataFrame, num_partitions: int = 32) -> DataFrame:
     friendly shuffle on a low-cardinality composite key — then one row per
     partition with a rule-hit-count map. No collect(), no skew (label
     cardinality is <= 10).
+
+    Timing parity with the reference's slice-info (started_at, finished_at,
+    parsing_time — parse_pile.py:1185-1188,1319-1338): when the verdicts
+    carry the `proc_ts` column (quality_pipeline(with_timing=True)),
+    started_at/finished_at are the min/max Arrow-batch stamps among the
+    partition's documents and duration_s their span — measured INSIDE the
+    processing pass, not when lineage is aggregated. Without proc_ts the
+    columns still exist (schema is stable across commits, so read_lineage
+    unions cleanly): started_at/duration_s null, finished_at = aggregation
+    time as before.
     """
     part = F.pmod(F.xxhash64("url"), F.lit(num_partitions)).alias("partition_id")
+    timed = "proc_ts" in verdicts.columns
     by_label = (
         verdicts.groupBy(part, F.coalesce("excl_type", F.lit("keep")).alias("label"))
         .agg(
             F.count("*").alias("n"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
+            *(
+                [F.min("proc_ts").alias("min_ts"), F.max("proc_ts").alias("max_ts")]
+                if timed
+                else []
+            ),
         )
     )
-    return (
-        by_label.groupBy("partition_id")
-        .agg(
-            F.sum("n").alias("n_docs"),
-            F.sum(F.when(F.col("label") == "keep", F.col("n")).otherwise(0)).alias(
-                "n_keep"
-            ),
-            F.sum(F.when(F.col("label") != "keep", F.col("n")).otherwise(0)).alias(
-                "n_drop"
-            ),
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("label", "n")))
-            ).alias("rule_hit_counts"),
-            F.min("min_doc").alias("first_doc_id"),
-            F.max("max_doc").alias("last_doc_id"),
-        )
-        .withColumn("finished_at", F.current_timestamp())
+    out = by_label.groupBy("partition_id").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("label") == "keep", F.col("n")).otherwise(0)).alias(
+            "n_keep"
+        ),
+        F.sum(F.when(F.col("label") != "keep", F.col("n")).otherwise(0)).alias(
+            "n_drop"
+        ),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("label", "n")))
+        ).alias("rule_hit_counts"),
+        F.min("min_doc").alias("first_doc_id"),
+        F.max("max_doc").alias("last_doc_id"),
+        *(
+            [
+                F.timestamp_seconds(F.min("min_ts")).alias("started_at"),
+                F.timestamp_seconds(F.max("max_ts")).alias("finished_at"),
+                F.round(F.max("max_ts") - F.min("min_ts"), 3).alias("duration_s"),
+            ]
+            if timed
+            else []
+        ),
     )
+    if not timed:
+        out = (
+            out.withColumn("started_at", F.lit(None).cast("timestamp"))
+            .withColumn("finished_at", F.current_timestamp())
+            .withColumn("duration_s", F.lit(None).cast("double"))
+        )
+    return out
 
 
 def sentence_table(verdicts: DataFrame) -> DataFrame:

@@ -417,7 +417,9 @@ def run_resumable_pipeline(
                 F.sha2(todo["text"], 256) == F.col("text_sha"),
                 "left_anti",
             )
-    verdicts = quality_pipeline(todo, num_partitions=num_partitions)
+    # with_timing: Arrow-batch stamps ride the UDF pass so the committed
+    # lineage carries real per-partition started_at/finished_at/duration_s
+    verdicts = quality_pipeline(todo, num_partitions=num_partitions, with_timing=True)
     raw_verdicts = verdicts = verdicts.persist()
     new_idx = None
     try:
@@ -434,7 +436,9 @@ def run_resumable_pipeline(
         lineage = lineage_table(verdicts, num_partitions=num_partitions).withColumn(
             "snapshot_id", F.lit(store.current_snapshot_id() + 1)
         )
-        snap_id = store.commit(verdicts, lineage)
+        # proc_ts is lineage-only instrumentation — the published verdict
+        # schema (OUTPUT_COLS) is what lands in the store
+        snap_id = store.commit(verdicts.drop("proc_ts"), lineage)
         if near_dedup and new_idx is not None:
             # index lands AFTER the verdict commit (see docstring for the
             # crash-lag recovery); only this batch's surviving kept docs.

@@ -90,3 +90,17 @@ def pii_scrub_udf(texts: pd.Series) -> pd.Series:
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokenize_udf(sents: pd.Series) -> pd.Series:
     return sents.map(lambda s: rules.tokenize(s) if s is not None else [])
+
+
+@F.pandas_udf(T.DoubleType())
+def batch_ts_udf(texts: pd.Series) -> pd.Series:
+    """Wall-clock stamp (epoch seconds) per Arrow batch. Projected alongside
+    process_udf it rides the SAME ArrowEvalPython pass (projection collapse),
+    so min/max per lineage partition bound when that partition's documents
+    were actually processed — the rebuild of the reference slice-info's
+    started_at/finished_at/parsing_time columns (parse_pile.py:1185-1188,
+    1319-1338) without any extra stage or Python round trip."""
+    import time
+
+    t = float(time.time())
+    return pd.Series(t, index=texts.index)

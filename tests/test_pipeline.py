@@ -207,3 +207,43 @@ def test_giant_document_skew(spark):
     assert len(big) > 0
     for r in big:
         assert r.keep and len(r.clean_text) > 100000
+
+
+def test_lineage_timing_columns(spark):
+    """Timing parity with the reference slice-info (started_at/finished_at/
+    parsing_time): with_timing stamps ride the UDF pass; per-partition
+    durations are non-negative and bounded by the run's wall clock; the
+    untimed path keeps the identical schema with null timing."""
+    import time
+
+    pages = synth_pages_local(spark, 300)
+    t0 = time.time()
+    v = quality_pipeline(pages, num_partitions=4, with_timing=True)
+    lin = lineage_table(v, num_partitions=8).collect()
+    elapsed = (time.time() - t0) + 1.0
+    assert lin
+    for r in lin:
+        assert r.started_at is not None and r.finished_at is not None
+        assert r.finished_at >= r.started_at
+        assert r.duration_s is not None and 0 <= r.duration_s <= elapsed
+    timed_schema = [f.name for f in lineage_table(v, num_partitions=8).schema.fields]
+    untimed = lineage_table(v.drop("proc_ts"), num_partitions=8)
+    assert [f.name for f in untimed.schema.fields] == timed_schema
+    row = untimed.limit(1).collect()[0]
+    assert row.started_at is None and row.duration_s is None
+    assert row.finished_at is not None
+
+
+def test_committed_lineage_carries_timing(spark, tmp_path):
+    from puddin_spark.snapshots import SnapshotStore, run_resumable_pipeline
+
+    store = SnapshotStore(tmp_path / "v")
+    run_resumable_pipeline(
+        spark, synth_pages_local(spark, 100), store, num_partitions=2
+    )
+    lin = store.read_lineage(spark).collect()
+    assert lin
+    assert all(r.duration_s is not None and r.duration_s >= 0 for r in lin)
+    assert all(r.started_at <= r.finished_at for r in lin)
+    # the published verdict schema is unchanged — no instrumentation column
+    assert "proc_ts" not in store.read(spark).columns
