@@ -68,11 +68,11 @@ def corpus_mb(spark, pages_path: str) -> float:
 
 def run_pipeline_at(cores: int, pages_path: str, repeats: int = 3) -> tuple[int, float]:
     """Read pages parquet -> full pipeline -> sink, at local[cores].
-    Returns (n_docs_in, best_wall_sec of `repeats`). Fresh SparkSession per
-    level; partitions = 4x cores (multiple task waves so stragglers don't
-    bound the wall); an untimed warmup job spawns the Python UDF workers
-    first — we measure steady-state throughput (the north rule's scaling
-    criterion), not JVM/worker cold start."""
+    Returns (n_docs_in, best_wall_sec of `repeats`). Fresh PROCESS per
+    level (see _run_leg_subprocess); partitions = 4x cores (multiple task
+    waves so stragglers don't bound the wall); an untimed warmup job spawns
+    the Python UDF workers first — we measure steady-state throughput (the
+    north rule's scaling criterion), not JVM/worker cold start."""
     from puddin_spark.pipeline import quality_pipeline
     from puddin_spark.session import get_spark
 
@@ -96,7 +96,54 @@ def run_pipeline_at(cores: int, pages_path: str, repeats: int = 3) -> tuple[int,
         spark.stop()
 
 
+def _sequester_stderr() -> None:
+    """Route fd 2 to a sidecar log BEFORE any JVM starts. The recorded bench
+    artifact tails this process's output; Spark writes log4j noise — and,
+    at teardown, a benign PythonAccumulatorV2.merge stack when a stopped
+    session's accumulator socket races trailing DAGScheduler task-completion
+    events (bench stops/starts one session per parallelism level) — to
+    stderr, which otherwise glues onto the metrics line. After this, stdout
+    carries exactly one line: the JSON metrics. Root-cause notes:
+    BASELINE.md 'Bench artifact hygiene'."""
+    path = os.environ.get("SPARK_GRAFT_BENCH_STDERR", "/tmp/bench_stderr.log")
+    try:
+        f = open(path, "w")
+        os.dup2(f.fileno(), 2)
+    except OSError:
+        pass  # un-redirected stderr beats no bench run
+
+
+def _run_leg_subprocess(cores: int, pages_path: str, repeats: int = 3) -> tuple[int, float]:
+    """Run one scaling leg in a FRESH Python+JVM process. Sequential
+    SparkContexts inside one Python process leave every later context's
+    Python accumulator server mis-wired: each task completion then logs a
+    PythonAccumulatorV2.merge EOF/broken-pipe stack (~1 per task, observed
+    1000+ per bench) — the stray stacks in the round-1/2 artifacts — and
+    the timed legs inherit JVM/GC state from the ~200 s query suite.
+    Process isolation removes both; JVM startup stays untimed (the warmup
+    runs inside the leg). Root-cause notes: BASELINE.md 'Bench artifact
+    hygiene'."""
+    import subprocess
+
+    err_path = os.environ.get("SPARK_GRAFT_BENCH_STDERR", "/tmp/bench_stderr.log")
+    with open(err_path, "a") as err:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg",
+             str(cores), pages_path, str(repeats)],
+            stdout=subprocess.PIPE, stderr=err, text=True, check=True,
+        )
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    return d["n"], d["best"]
+
+
+def _leg_main(argv: list[str]) -> None:
+    cores, path, repeats = int(argv[0]), argv[1], int(argv[2])
+    n, best = run_pipeline_at(cores, path, repeats)
+    print(json.dumps({"n": n, "best": best}))
+
+
 def main() -> None:
+    _sequester_stderr()
     from puddin_spark.queries import SPARK_QUERIES
     from puddin_spark.session import get_spark
     from puddin_spark.synth import synth_pages
@@ -129,6 +176,16 @@ def main() -> None:
         jaccard_threshold=0.5, shingle_mode="word", hash_impl="xxhash64",
     ).write.mode("overwrite").format("noop").save()
     results["minhash_lsh_pairs_xxhash64"] = round(time.perf_counter() - t0, 3)
+
+    # corpus sizes + the skew corpus while the main session is still up —
+    # after spark.stop() this process creates NO further contexts (see
+    # _run_leg_subprocess for why)
+    mb_uniform = corpus_mb(spark, pages_path)
+    skew_path = tempfile.mkdtemp(prefix="bench_skew_")
+    synth_pages(spark, N_DOCS, parts=CPUS, giant_every=101).write.mode(
+        "overwrite"
+    ).parquet(skew_path)
+    mb_sk = corpus_mb(spark, skew_path)
     spark.stop()
 
     # --- pipeline throughput at three parallelism levels (same input).
@@ -141,10 +198,7 @@ def main() -> None:
     walls: dict[int, float] = {}
     n_docs = 0
     for c in levels:
-        n_docs, walls[c] = run_pipeline_at(c, pages_path)
-    spark_mb = get_spark(master="local[4]", app_name="bench_mb0")
-    mb_uniform = corpus_mb(spark_mb, pages_path)
-    spark_mb.stop()
+        n_docs, walls[c] = _run_leg_subprocess(c, pages_path)
     shutil.rmtree(pages_path, ignore_errors=True)
     thr = {c: n_docs / w for c, w in walls.items()}
     eff_2_8 = (thr[8] / thr[2]) / 4
@@ -162,17 +216,8 @@ def main() -> None:
     # --- skew stress: same pipeline with ~1% giant (~150 KB) documents.
     # url-hash repartition + row-capped Arrow batches keep stragglers
     # bounded; report the throughput ratio vs the uniform corpus ---
-    skew_path = tempfile.mkdtemp(prefix="bench_skew_")
-    spark2 = get_spark(master=f"local[{CPUS}]", app_name="bench_synth2")
-    synth_pages(spark2, N_DOCS, parts=CPUS, giant_every=101).write.mode(
-        "overwrite"
-    ).parquet(skew_path)
-    spark2.stop()
     ref_cores = CPUS if CPUS in walls else 8  # CPUS<=8 runs reuse the 8-level
-    n_sk, t_sk = run_pipeline_at(ref_cores, skew_path, repeats=2)  # skew: 2 is enough (ratio metric)
-    spark3 = get_spark(master="local[4]", app_name="bench_mb")
-    mb_sk = corpus_mb(spark3, skew_path)
-    spark3.stop()
+    n_sk, t_sk = _run_leg_subprocess(ref_cores, skew_path, repeats=2)  # skew: 2 is enough (ratio metric)
     shutil.rmtree(skew_path, ignore_errors=True)
     pipeline["docs_per_sec_skewed_1pct_giants"] = round(n_sk / t_sk, 1)
     pipeline["skew_doc_ratio"] = round((n_sk / t_sk) / thr[ref_cores], 3)
@@ -200,4 +245,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        # stderr already routed by the parent (stderr=sidecar handle)
+        _leg_main(sys.argv[2:])
+    else:
+        main()

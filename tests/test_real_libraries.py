@@ -1,0 +1,121 @@
+"""Opportunistic real-library wiring through the documented swap seams.
+
+Every heavy-model stand-in in this repo sits behind a seam sized for the
+real dependency: translit.transliterate (unidecode), models.swap_langid_model
+(fastText), models._get_charlm / CharLMModel.load (KenLM-style external
+model file), annotate.swap_annotator (Stanza), multimodal._DECODER (Pillow).
+Where the real library is installed these tests prove the seam carries it;
+where it is absent they SKIP — and the skip line is the per-round,
+machine-checked confirmation of the environment gap.
+
+Round-3 survey of this sandbox (pip/apt are disallowed; imports attempted):
+unidecode, fasttext, stanza, PIL, kenlm, langid, langdetect, ftfy — ALL
+absent. The stand-ins (translit tables, trigram langid, char-LM perplexity,
+rule annotator, deterministic media decode) remain the executing path;
+their correctness is pinned by fixture byte-parity and the golden-parquet
+model oracles instead.
+"""
+from __future__ import annotations
+
+import importlib
+
+import pytest
+
+
+def _has(mod: str) -> bool:
+    try:
+        importlib.import_module(mod)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has("unidecode"), reason="unidecode not installed in this env")
+def test_unidecode_parity_with_builtin_translit():
+    """The embedded mapping subset must agree with real unidecode on the
+    fixture corpus (the 61-doc golden set is the oracle for translit)."""
+    import json
+    from pathlib import Path
+
+    from unidecode import unidecode
+
+    from puddin_spark.translit import transliterate
+
+    docs = json.loads(
+        (Path(__file__).parent / "fixtures" / "golden.json").read_text()
+    )
+    for d in docs:
+        raw = d.get("raw") or d.get("text") or ""
+        assert transliterate(raw) == unidecode(raw)
+
+
+@pytest.mark.skipif(not _has("fasttext"), reason="fasttext not installed in this env")
+def test_fasttext_through_langid_seam(spark):
+    """swap_langid_model accepts any predict(texts)->(labels, scores); wire
+    lid.176 here on a real cluster. This test only proves the seam's shape
+    carries the real model object."""
+    import fasttext
+
+    from puddin_spark import models
+
+    class FastTextAdapter:
+        def __init__(self, path: str):
+            self._m = fasttext.load_model(path)
+
+        def predict(self, texts):
+            labels, scores = self._m.predict([t.replace("\n", " ") for t in texts])
+            return [l[0].replace("__label__", "") for l in labels], [
+                round(float(s[0]), 6) for s in scores
+            ]
+
+    # no bundled .bin in this repo: the adapter shape is what is under test
+    pytest.skip("fasttext importable but no model file shipped in-repo")
+
+
+@pytest.mark.skipif(not _has("stanza"), reason="stanza not installed in this env")
+def test_stanza_through_annotator_seam():
+    """swap_annotator accepts any .annotate(tokens)->rows object
+    (annotate.RuleAnnotator protocol); a Stanza pipeline wraps into it."""
+    import stanza  # noqa: F401
+
+    from puddin_spark.annotate import get_annotator, swap_annotator
+
+    base = get_annotator()
+    try:
+        swap_annotator(base)  # shape round-trip; a real wrapper goes here
+        assert get_annotator() is base
+    finally:
+        swap_annotator(None)
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="Pillow not installed in this env")
+def test_pillow_through_decoder_seam():
+    from io import BytesIO
+
+    from PIL import Image
+
+    from puddin_spark.operators import multimodal
+
+    def decode_pil(data: bytes) -> dict:
+        img = Image.open(BytesIO(data))
+        return {"width": img.width, "height": img.height, "format": img.format}
+
+    buf = BytesIO()
+    Image.new("RGB", (4, 3)).save(buf, format="PNG")
+    old = multimodal._DECODER
+    try:
+        multimodal._DECODER = decode_pil
+        meta = multimodal._DECODER(buf.getvalue())
+        assert (meta["width"], meta["height"]) == (4, 3)
+    finally:
+        multimodal._DECODER = old
+
+
+def test_environment_gap_is_current():
+    """Fail loudly the moment any real library APPEARS in the env, so the
+    seams get wired instead of silently shadowed by stand-ins."""
+    present = [m for m in ("unidecode", "fasttext", "stanza", "PIL", "kenlm") if _has(m)]
+    assert not present, (
+        f"real libraries now installed: {present} — wire them through their "
+        "seams (see module docstring) and update BASELINE.md"
+    )
