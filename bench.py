@@ -189,16 +189,27 @@ def main() -> None:
     spark.stop()
 
     # --- pipeline throughput at three parallelism levels (same input).
-    # Headline N-vs-4N pair is local[2] -> local[8]; the 8 -> CPUS pair is
-    # also reported (this VM saturates beyond ~16 workers at host level —
-    # see BENCH notes in BASELINE.md) ---
+    # Headline N-vs-4N pair is local[2] -> local[8]; those two legs run
+    # INTERLEAVED (2,8,2,8 — best wall per level) so the ratio is taken
+    # under comparable host conditions: this VM sees periodic external
+    # load windows (documented in BASELINE.md) and sequential legs can
+    # land on opposite sides of one. The 8 -> CPUS pair is also reported
+    # (host-level saturation beyond ~16 workers — see BENCH notes) ---
     levels = [2, 8]
     if CPUS > 8:
         levels.append(CPUS)
-    walls: dict[int, float] = {}
+    walls: dict[int, float] = {c: float("inf") for c in levels}
     n_docs = 0
-    for c in levels:
-        n_docs, walls[c] = _run_leg_subprocess(c, pages_path)
+    for _ in range(2):
+        for c in (2, 8):
+            n_docs, w = _run_leg_subprocess(c, pages_path, repeats=2)
+            walls[c] = min(walls[c], w)
+    if CPUS > 8:
+        # two spaced samples for the wide leg too — a single external-load
+        # window otherwise owns the recorded local[CPUS] number
+        for _ in range(2):
+            n_docs, w = _run_leg_subprocess(CPUS, pages_path, repeats=2)
+            walls[CPUS] = min(walls[CPUS], w)
     shutil.rmtree(pages_path, ignore_errors=True)
     thr = {c: n_docs / w for c, w in walls.items()}
     eff_2_8 = (thr[8] / thr[2]) / 4
@@ -217,7 +228,12 @@ def main() -> None:
     # url-hash repartition + row-capped Arrow batches keep stragglers
     # bounded; report the throughput ratio vs the uniform corpus ---
     ref_cores = CPUS if CPUS in walls else 8  # CPUS<=8 runs reuse the 8-level
-    n_sk, t_sk = _run_leg_subprocess(ref_cores, skew_path, repeats=2)  # skew: 2 is enough (ratio metric)
+    # two spaced single-repeat samples (same budget as one repeats=2 run,
+    # but a periodic external-load spike can't own both)
+    n_sk, t_sk = 0, float("inf")
+    for _ in range(2):
+        n_sk, w = _run_leg_subprocess(ref_cores, skew_path, repeats=1)
+        t_sk = min(t_sk, w)
     shutil.rmtree(skew_path, ignore_errors=True)
     pipeline["docs_per_sec_skewed_1pct_giants"] = round(n_sk / t_sk, 1)
     pipeline["skew_doc_ratio"] = round((n_sk / t_sk) / thr[ref_cores], 3)
