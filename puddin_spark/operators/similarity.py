@@ -296,3 +296,83 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("nid").alias("neighbor_id"), "rank", "cos_sim")
     )
+
+
+def srp_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Persistable SRP index (id, v, bucket) — the embedding-space analog of
+    dedup.minhash_index. Write it next to the snapshot store (partitioned by
+    `bucket`, or a bucket prefix at high num_planes, for the same file
+    pruning the minhash band table gets) and incremental batches never
+    re-project the committed corpus through the hyperplanes."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+        srp_bucket_col(vec_col, num_planes).alias("bucket"),
+    )
+
+
+def incremental_srp_pairs(
+    new_index: DataFrame,
+    committed_index: DataFrame | None,
+    *,
+    min_cos: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs for an INCREMENTAL ingest: every pair has a
+    NEW endpoint — new-vs-committed and new-vs-new, never committed-vs-
+    committed (mirror of dedup.incremental_minhash_pairs; at 10^12 vectors
+    re-pairing the corpus per batch is the non-starter). Inputs are
+    srp_index frames built with the same num_planes.
+
+    Plan shape: the committed side semi-joins against only the BATCH's
+    bucket keys (so a bucket-partitioned committed index prunes files);
+    vectors rejoin for exact-cosine verification on surviving candidates
+    only. Unlike minhash there is one bucket per vector, so no candidate
+    dedup pass is needed. Returns (id_a, id_b, bucket, cos_sim,
+    committed_side) where committed_side marks new-vs-committed pairs (the
+    keep-first ingest policy drops the NEW doc in that case)."""
+    new_b = new_index.select("id", "bucket").withColumn("_new", F.lit(True))
+    vecs = new_index.select("id", "v")
+    b = new_b
+    if committed_index is not None:
+        new_keys = new_b.select("bucket").distinct()
+        b = new_b.unionByName(
+            committed_index.select("id", "bucket")
+            .join(new_keys, "bucket", "left_semi")
+            .withColumn("_new", F.lit(False))
+        )
+        vecs = vecs.unionByName(committed_index.select("id", "v"))
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket")
+        b = (
+            b.withColumn("_bn", F.count("*").over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = b.select(F.col("id").alias("id_a"), F.col("_new").alias("new_a"), "bucket")
+    c = b.select(F.col("id").alias("id_b"), F.col("_new").alias("new_b"), "bucket")
+    cand = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("new_a") | F.col("new_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "bucket",
+            (~(F.col("new_a") & F.col("new_b"))).alias("committed_side"),
+        )
+    )
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+        )
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+        .withColumn("cos_sim", F.round(cosine_col("v_a", "v_b"), 6))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", "bucket", "cos_sim", "committed_side")
+    )

@@ -945,6 +945,70 @@ where cos_sim >= 0.99
 """
 
 
+def q_incremental_srp_pairs(spark, sf_dir):
+    """Incremental embedding near-dedup: the mutants (vec_id+1000000, the
+    deterministic near-dups of q_embedding_near_dup) arrive as a NEW batch
+    against the base embeddings as the COMMITTED corpus. Every returned pair
+    touches a new vector; committed-vs-committed work never happens
+    (similarity.incremental_srp_pairs — the embedding-space twin of the
+    minhash ingest path)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    committed = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    new_batch = emb.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " * (1.0 + 0.001 * cast((i % 7) - 3 as double)))"
+        ).alias("embedding"),
+    )
+    return similarity.incremental_srp_pairs(
+        similarity.srp_index(new_batch),
+        similarity.srp_index(committed),
+        min_cos=0.99,
+    )
+
+
+def _oracle_incremental_srp() -> str:
+    bits = []
+    for p in range(8):
+        w = (
+            f"(cast((cast(1103515245 as bigint) * (cast(i - 1 as bigint) + 7919 * {p})"
+            f" + 12345) % 1000 as double) / 999.0 - 0.5)"
+        )
+        dot = f"list_sum(list_transform(range(1, len(v)+1), i -> v[i] * {w}))"
+        bits.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
+    cos = (
+        "round(list_sum(list_transform(range(1, len(a.v)+1),"
+        " i -> a.v[i] * c.v[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i] * c.v[i])))), 6)"
+    )
+    return f"""
+with u as (
+  select vec_id as id, true as committed,
+         list_transform(range(1, len(embedding)+1),
+                        i -> cast(embedding[i] as double)) as v
+  from embeddings
+  union all
+  select vec_id + 1000000 as id, false as committed,
+         list_transform(range(1, len(embedding)+1),
+           i -> cast(embedding[i] as double)
+                * (1.0 + 0.001 * cast(((i - 1) % 7) - 3 as double))) as v
+  from embeddings where vec_id % 10 = 0
+),
+b as (select id, committed, v, cast({' + '.join(bits)} as int) as bucket from u)
+select * from (
+  select a.id as id_a, c.id as id_b, a.bucket as bucket, {cos} as cos_sim,
+         (a.committed or c.committed) as committed_side
+  from b a join b c using (bucket)
+  where a.id < c.id and not (a.committed and c.committed))
+where cos_sim >= 0.99
+"""
+
+
 def q_quality_scores(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return textstats.quality_columns(d, "text").select(
@@ -1594,6 +1658,7 @@ SPARK_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "srp_buckets": q_srp_buckets,
     "embedding_near_dup": q_embedding_near_dup,
+    "incremental_srp_pairs": q_incremental_srp_pairs,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
@@ -1646,6 +1711,7 @@ def oracle_queries() -> dict[str, str]:
         "ann_cosine_topk": O_ANN_COSINE_TOPK,
         "srp_buckets": _oracle_srp_buckets(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
+        "incremental_srp_pairs": _oracle_incremental_srp(),
         "quality_scores": O_QUALITY_SCORES,
         "token_counts": O_TOKEN_COUNTS,
         "fingerprints": O_FINGERPRINTS,

@@ -417,3 +417,50 @@ def test_resolve_clusters_frees_round_checkpoints(spark):
         i for i in sc._jsc.sc().getRDDStorageInfo() if i.id() not in before
     ]
     assert not new_ids
+
+
+def test_incremental_srp_pairs_matches_full(spark):
+    """Incremental SRP pair generation must equal the full-corpus pair set
+    restricted to pairs with >= 1 new endpoint (same guarantee as the
+    minhash twin: never re-pairs the committed corpus, loses nothing)."""
+    from puddin_spark.operators.similarity import (
+        incremental_srp_pairs,
+        srp_candidate_pairs,
+        srp_index,
+    )
+
+    def vecs(start, end, mutate=None):
+        df = spark.range(start, end).selectExpr(
+            "id as vec_id",
+            "transform(sequence(0, 15), d -> cast((pmod(xxhash64(id, d), 1000)"
+            " - 500) as double) / 500.0) as embedding",
+        )
+        if mutate:
+            df = df.selectExpr(
+                "vec_id + 100000 as vec_id",
+                f"transform(embedding, x -> x * {mutate}) as embedding",
+            )
+        return df
+
+    committed = vecs(0, 150)
+    new = vecs(0, 30, mutate="1.001").unionByName(vecs(150, 170))
+    both = committed.unionByName(new)
+    full = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in srp_candidate_pairs(both, min_cos=0.2).collect()
+    }
+    committed_ids = {r.vec_id for r in committed.collect()}
+    expected = {
+        (a, b, c)
+        for (a, b, c) in full
+        if not (a in committed_ids and b in committed_ids)
+    }
+    inc = incremental_srp_pairs(
+        srp_index(new), srp_index(committed), min_cos=0.2
+    ).collect()
+    got = {(r.id_a, r.id_b, r.cos_sim) for r in inc}
+    assert got == expected and len(got) > 0
+    for r in inc:
+        assert r.committed_side == (
+            r.id_a in committed_ids or r.id_b in committed_ids
+        )
