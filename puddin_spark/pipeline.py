@@ -17,7 +17,11 @@ Scale posture (north_rule):
 - dedup keep-first is a window over sha2(text) ordered by (warc_ts, url): a
   single hash shuffle that moves 32-byte digests, never document bodies —
   the shape that survives 10^12 docs (semantics identical to a raw-text
-  window; both first-wins on the same text equality).
+  window; both first-wins on the same text equality). Hot digests (one text
+  duplicated 10^9 times) do NOT become a single-task straggler: Spark plans
+  row_number()==1 as WindowGroupLimit with a Partial (map-side) pass — see
+  the executed plan in tests/test_plans.py — so each input partition
+  forwards at most one candidate row per digest into the shuffle.
 """
 from __future__ import annotations
 

@@ -64,6 +64,10 @@ def test_dedup_first_default_partitions_on_digest(spark, tmp_path):
     synth_pages_local(spark, 50).write.parquet(str(tmp_path / "pages"))
     pages = spark.read.parquet(str(tmp_path / "pages"))
     plan = _plan(dedup_first(pages))
+    # hot-digest skew guard: row_number()==1 must plan a map-side
+    # WindowGroupLimit pass, so a digest duplicated across every input
+    # partition forwards at most one candidate row per partition
+    assert re.search(r"WindowGroupLimit .*Partial", plan), plan[:2000]
     m = re.search(r"Exchange hashpartitioning\((\w+)#\d+", plan)
     assert m, plan[:1500]
     key = m.group(1)
