@@ -177,6 +177,33 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     results["minhash_lsh_pairs_xxhash64"] = round(time.perf_counter() - t0, 3)
 
+    # keep/drop F1 vs the reference labels (the north rule's acceptance
+    # metric) — the golden 61-doc corpus through the full pipeline
+    import json as _json
+    from pathlib import Path as _Path
+
+    from puddin_spark.metrics import keepdrop_f1
+    from puddin_spark.pipeline import quality_pipeline
+    from puddin_spark.synth import synth_pages_local
+
+    golden = _json.loads(
+        (_Path(__file__).parent / "tests" / "fixtures" / "golden.json").read_text()
+    )
+    truth = spark.createDataFrame(
+        [
+            (f"https://fixtures.example.org/{r['sample']}/{r['text_id']}",
+             r["label"] == "keep")
+            for r in golden
+        ],
+        schema="url string, keep boolean",
+    )
+    fx = synth_pages_local(spark, len(golden))
+    m = keepdrop_f1(
+        quality_pipeline(fx, num_partitions=8).filter("url like 'https://fixtures%'"),
+        truth,
+    )
+    keepdrop = {"f1": round(m["f1"], 4), "compared": int(m["tp"] + m["tn"] + m["fp"] + m["fn"])}
+
     # corpus sizes + the skew corpus while the main session is still up —
     # after spark.stop() this process creates NO further contexts (see
     # _run_leg_subprocess for why)
@@ -254,6 +281,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": SF,
+                "keepdrop_f1_vs_reference": keepdrop,
                 "pipeline": pipeline,
             }
         )

@@ -464,3 +464,22 @@ def test_incremental_srp_pairs_matches_full(spark):
         assert r.committed_side == (
             r.id_a in committed_ids or r.id_b in committed_ids
         )
+
+
+def test_keepdrop_confusion_counts_disagreements_and_gaps(spark):
+    """Unit semantics of the north-rule F1 metric: the 2x2 cells, both
+    coverage-gap counters, and the derived scores on a hand-built case."""
+    from puddin_spark.metrics import keepdrop_confusion
+
+    pred = spark.createDataFrame(
+        [("a", True), ("b", True), ("c", False), ("d", False), ("x", True)],
+        schema="url string, keep boolean",
+    )
+    truth = spark.createDataFrame(
+        [("a", True), ("b", False), ("c", True), ("d", False), ("y", False)],
+        schema="url string, keep boolean",
+    )
+    m = keepdrop_confusion(pred, truth).first().asDict()
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (1, 1, 1, 1)
+    assert m["n_pred_only"] == 1 and m["n_truth_only"] == 1
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5

@@ -97,6 +97,28 @@ def test_langid_gate(spark, verdicts):
     assert verdicts.filter("lang != 'en'").count() == 0
 
 
+def test_keepdrop_f1_vs_reference_labels(spark, verdicts):
+    """The north rule's acceptance metric, computed explicitly: keep/drop
+    F1 vs the reference's labels on the golden corpus must be >= 0.99
+    (here: exactly 1.0 — the cascade is byte-parity with the reference)."""
+    from puddin_spark.metrics import keepdrop_f1
+
+    truth = spark.createDataFrame(
+        [(u, g["label"] == "keep") for u, g in GOLDEN.items()],
+        schema="url string, keep boolean",
+    )
+    pred = verdicts.filter(F.col("url").startswith("https://fixtures"))
+    m = keepdrop_f1(pred, truth)
+    assert m["f1"] == 1.0 and m["precision"] == 1.0 and m["recall"] == 1.0
+    assert m["fp"] == 0 and m["fn"] == 0
+    assert m["n_pred_only"] == 0  # every compared verdict has a label
+    # labels whose text deduped away under keep-first are the only
+    # uncompared rows; their count is fixed by the fixture corpus
+    n_dup = len(GOLDEN) - len({g["raw"] for g in GOLDEN.values()})
+    assert m["n_truth_only"] == n_dup
+    assert m["tp"] + m["tn"] == len(GOLDEN) - n_dup
+
+
 def test_lineage_counts(verdicts):
     lin = lineage_table(verdicts, num_partitions=8).collect()
     assert sum(r.n_docs for r in lin) == verdicts.count()
