@@ -218,3 +218,21 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_keepdrop_confusion_broadcasts_labels(spark):
+    """The F1 metric must stream the verdict corpus through a broadcast
+    join — a labelled holdout is small; shuffling the full corpus on url
+    to score it would be wrong at 10^12 docs."""
+    from puddin_spark.metrics import keepdrop_confusion
+    from puddin_spark.pipeline import quality_pipeline
+    from puddin_spark.synth import synth_pages_local
+
+    pred = quality_pipeline(synth_pages_local(spark, 80), num_partitions=4)
+    truth = spark.createDataFrame(
+        [(f"u{i}", i % 2 == 0) for i in range(10)],
+        schema="url string, keep boolean",
+    )
+    plan = _plan(keepdrop_confusion(pred, truth))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
