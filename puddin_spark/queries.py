@@ -1055,6 +1055,58 @@ from documents
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (operators/html.py): the input_hint table's
+    html:binary slot. The page markup is built deterministically from
+    documents.text in BOTH engines (head/style/script/comment chrome,
+    entities, a block structure), then extracted with the frozen chain —
+    so the gate verifies the whole pipeline cross-engine, not a fixture."""
+    from puddin_spark.operators import html as html_op
+
+    d = read_table(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                '</title><style type="text/css">p { margin: 0 }</style></head>'
+                "<body><!-- auto-generated -->\n<h1>Entry "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit('</h1><div class="main"><p>'),
+            F.col("text"),
+            F.lit(
+                "</p><br/><p>Tom &amp; Jerry wrote &quot;x &lt; y&nbsp;&gt;"
+                " z&#39;s&quot;.</p></div><script>var n = 1 && 2;</script>"
+                "</body></html>"
+            ),
+        ).alias("page_html"),
+    )
+    return built.select(
+        "doc_id",
+        html_op.extract_text_from_html("page_html").alias("text_extracted"),
+    )
+
+
+def _oracle_html_extract() -> str:
+    from puddin_spark.operators.html import duckdb_extract_sql
+
+    build = (
+        "('<html><head><title>Doc ' || cast(doc_id as varchar) || "
+        "'</title><style type=\"text/css\">p { margin: 0 }</style></head>"
+        "<body><!-- auto-generated -->' || chr(10) || '<h1>Entry ' || "
+        "cast(doc_id as varchar) || '</h1><div class=\"main\"><p>' || text || "
+        "'</p><br/><p>Tom &amp; Jerry wrote &quot;x &lt; y&nbsp;&gt;"
+        " z&#39;s&quot;.</p></div><script>var n = 1 && 2;</script>"
+        "</body></html>')"
+    )
+    return (
+        f"select doc_id, {duckdb_extract_sql(build)} as text_extracted "
+        "from documents"
+    )
+
+
 def q_fingerprints(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return d.select(
@@ -1662,6 +1714,7 @@ SPARK_QUERIES = {
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
+    "html_extract": q_html_extract,
     "langid_heuristic": q_langid_heuristic,
     "multimodal_meta": q_multimodal_meta,
     "media_frames": q_media_frames,
@@ -1715,6 +1768,7 @@ def oracle_queries() -> dict[str, str]:
         "quality_scores": O_QUALITY_SCORES,
         "token_counts": O_TOKEN_COUNTS,
         "fingerprints": O_FINGERPRINTS,
+        "html_extract": _oracle_html_extract(),
         "langid_heuristic": O_LANGID_HEURISTIC,
         "multimodal_meta": O_MULTIMODAL_META,
         "media_frames": O_MEDIA_FRAMES,

@@ -483,3 +483,49 @@ def test_keepdrop_confusion_counts_disagreements_and_gaps(spark):
     assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (1, 1, 1, 1)
     assert m["n_pred_only"] == 1 and m["n_truth_only"] == 1
     assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+
+
+def test_html_extract_binary_and_tag_guards(spark):
+    """The input_hint html:binary path + the prefix-collision guards
+    (<header> must not be swallowed by the <head> block drop)."""
+    from puddin_spark.operators.html import extract_text_from_html
+
+    rows = [
+        # if <head(\s…)?> wrongly matched <header>, the drop would swallow
+        # everything through </head>, including "kept"
+        (1, "<header>Site</header><p>kept</p><head><title>x</title></head><p>after</p>".encode()),
+        (2, "<head><title>chrome</title></head><body><p>content</p></body>".encode()),
+        (3, "plain &amp; simple".encode()),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, html binary")
+    got = {
+        r.i: r.t
+        for r in df.select(
+            "i", extract_text_from_html("html", from_binary=True).alias("t")
+        ).collect()
+    }
+    assert got[1] == "Sitekept\n\nafter"  # header content survives the head drop
+    assert got[2] == "content"
+    assert got[3] == "plain & simple"
+    assert got[4] is None
+
+
+def test_html_extract_stays_in_codegen(spark):
+    """The extraction chain is regexp/replace built-ins only — no Python
+    evaluation node may appear (hot-path rule, SURVEY §2.3 design)."""
+    from puddin_spark.operators.html import extract_text_from_html
+    from puddin_spark.plans import executed_plan
+    from puddin_spark.synth import synth_pages_local
+
+    pages = synth_pages_local(spark, 30, include_fixtures=False).filter(
+        "html is not null"
+    )
+    out = pages.select(
+        "url", extract_text_from_html("html", from_binary=True).alias("t")
+    )
+    plan = executed_plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # synth html wraps a prefix of text in <html><body>...</body></html>
+    row = out.first()
+    assert row.t and "<" not in row.t
