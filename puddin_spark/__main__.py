@@ -46,7 +46,7 @@ def cmd_run(args) -> int:
     store = SnapshotStore(f"{args.dest}/verdicts")
     snap_id, n_new = run_resumable_pipeline(
         spark, pages, store, num_partitions=args.partitions,
-        near_dedup=args.near_dedup,
+        near_dedup=args.near_dedup, html_fallback=args.html_fallback,
     )
     out = {"snapshot_id": snap_id, "new_docs": n_new}
     if snap_id >= 0:
@@ -260,6 +260,12 @@ def main(argv: list[str] | None = None) -> int:
                 help="fuzzy-dedup each batch against all prior batches via"
                 " the minhash index sidecar; near-dup newcomers get"
                 " excl_type='near_dup'",
+            )
+            sp.add_argument(
+                "--html-fallback",
+                action="store_true",
+                help="extract text from the html column (JVM regexp chain)"
+                " for rows whose WET text is null/empty",
             )
             sp.add_argument(
                 "--annotate",

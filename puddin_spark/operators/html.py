@@ -83,6 +83,21 @@ def extract_text_from_html(col: Column | str, from_binary: bool = False) -> Colu
     return F.trim(c)
 
 
+def with_html_fallback(pages) -> "DataFrame":  # noqa: F821 (doc type)
+    """Replace null/empty `text` with the extraction of `html` where
+    present (input_hint schema). Must run BEFORE any digest computed over
+    `text` — resume's sha2 anti-join included — or every WET-missing row
+    shares the empty-string digest and collides."""
+    return pages.withColumn(
+        "text",
+        F.when(
+            (F.col("text").isNull() | (F.length("text") == 0))
+            & F.col("html").isNotNull(),
+            extract_text_from_html("html", from_binary=True),
+        ).otherwise(F.col("text")),
+    )
+
+
 def duckdb_extract_sql(expr: str) -> str:
     """The same chain as DuckDB SQL over `expr` — the oracle twin used by
     the html_extract gate (regexes are RE2-safe by construction)."""

@@ -69,6 +69,7 @@ def quality_pipeline(
     num_partitions: int | None = None,
     pii_scrub: bool = False,
     with_timing: bool = False,
+    html_fallback: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> per-document verdict table
     (doc_id, url, warc_ts, lang, clean_text, keep, excl_type).
@@ -82,7 +83,20 @@ def quality_pipeline(
     lineage_table can report per-partition started_at/finished_at/duration_s
     — the reference's slice timing lineage. Drop it before publishing
     (run_resumable_pipeline does) to keep the verdict schema contract.
+
+    html_fallback extracts text from the html:binary column for rows whose
+    text is null/empty (JVM-only chain, operators/html.py). Off by default:
+    the reference ingests pre-extracted Pile text, and byte-parity is
+    defined on that column.
     """
+    if html_fallback:
+        # rows whose WET text is absent fall back to extracting from the
+        # raw html (operators/html.py). The extraction chain is pure JVM
+        # expressions evaluated in this projection, BEFORE the prune below
+        # — the html bytes still never reach the Python workers.
+        from puddin_spark.operators.html import with_html_fallback
+
+        pages = with_html_fallback(pages)
     df = pages.filter(F.col("lang") == selected_lang)
     # prune early: html bytes never reach the Python workers
     df = df.select("url", "warc_ts", "lang", "text")

@@ -366,6 +366,7 @@ def run_resumable_pipeline(
     *,
     num_partitions: int = 32,
     near_dedup: bool = False,
+    html_fallback: bool = False,
 ) -> tuple[int, int]:
     """One resumable pipeline run: process only not-yet-committed urls,
     commit verdicts + per-partition lineage atomically.
@@ -404,6 +405,14 @@ def run_resumable_pipeline(
     # the current todo set) — without it, urls shadowed by an in-run
     # duplicate would be rediscovered on every rerun and resume would not be
     # idempotent.
+    if html_fallback:
+        # substitute extracted text BEFORE the sha2 anti-join below:
+        # WET-missing rows all share the empty-string digest, so hashing
+        # the raw column would anti-join every later html-only row against
+        # the first committed one (operators/html.py note)
+        from puddin_spark.operators.html import with_html_fallback
+
+        pages = with_html_fallback(pages)
     committed = store.read(spark)
     todo = pages
     seen = None

@@ -90,6 +90,7 @@ def gen_rows(
     dup_every: int = 17,
     nonen_every: int = 23,
     giant_every: int = 0,
+    htmlonly_every: int = 0,
 ) -> pd.DataFrame:
     """Rows [start, end) of the synthetic table. Pure function of index."""
     fixtures: list[dict] = []
@@ -113,6 +114,23 @@ def gen_rows(
                 # sharing jx%7 carry identical text (dedup-determinism tests)
                 text, _ = _strata_text(jx % 7)
                 lang = "en"
+            elif htmlonly_every and jx % htmlonly_every == 9:
+                # WET text missing; only the raw html carries the content
+                # (exercises quality_pipeline(html_fallback=True))
+                body = _prose(jx, 4).replace("\n", " ")
+                urls.append(
+                    f"https://synth.example.org/h/{_h(ix, 'url'):016x}"
+                )
+                tss.append(ts)
+                htmls.append(
+                    (
+                        "<html><head><title>cached page</title></head>"
+                        f"<body><!-- wet-missing --><p>{body}</p></body></html>"
+                    ).encode()
+                )
+                texts.append("")
+                langs.append("en")
+                continue
             elif giant_every and jx % giant_every == 7:
                 # ~150 KB outlier document (skew exercises)
                 text = _prose(jx, 2500)

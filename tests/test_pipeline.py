@@ -269,3 +269,31 @@ def test_committed_lineage_carries_timing(spark, tmp_path):
     assert all(r.started_at <= r.finished_at for r in lin)
     # the published verdict schema is unchanged — no instrumentation column
     assert "proc_ts" not in store.read(spark).columns
+
+
+def test_html_fallback_recovers_wet_missing_rows(spark):
+    """Rows with empty text + populated html join the corpus only under
+    html_fallback=True, with the extracted text flowing through the same
+    scrub/classify cascade (operators/html.py stays JVM-side)."""
+    pages = synth_pages_local(spark, 150, include_fixtures=False, htmlonly_every=13)
+    wet_missing = pages.filter("text = '' and html is not null")
+    n_missing = wet_missing.count()
+    assert n_missing > 0
+
+    off = quality_pipeline(pages, num_partitions=4)
+    on = quality_pipeline(pages, num_partitions=4, html_fallback=True)
+    urls = [r.url for r in wet_missing.select("url").collect()]
+
+    got_off = off.filter(F.col("url").isin(urls)).collect()
+    # without the fallback the empty docs survive to the classifier and are
+    # dropped (never kept with content)
+    assert all((not r.keep) or not r.clean_text for r in got_off)
+
+    got_on = {r.url: r for r in on.filter(F.col("url").isin(urls)).collect()}
+    assert len(got_on) == n_missing
+    for r in got_on.values():
+        assert r.keep and r.clean_text and "<" not in r.clean_text
+    # rows that had WET text are byte-identical between the two modes
+    rest_off = {r.url: r.clean_text for r in off.filter(~F.col("url").isin(urls)).collect()}
+    rest_on = {r.url: r.clean_text for r in on.filter(~F.col("url").isin(urls)).collect()}
+    assert rest_off == rest_on

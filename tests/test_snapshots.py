@@ -291,3 +291,40 @@ def test_near_dedup_across_resumes(spark, tmp_path):
     assert t2.keep is False and t2.excl_type == "near_dup"
     idx3 = SnapshotStore(store.base / "minhash_index").read(spark)
     assert idx3.count() == v3.filter("keep").count()  # fully healed
+
+
+def test_resume_html_fallback_digest_uses_extracted_text(spark, tmp_path):
+    """html_fallback must substitute text BEFORE the resume digest
+    anti-join: distinct WET-missing docs in a later batch would otherwise
+    all collide on sha2('') with the first committed one and vanish."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(tmp_path / "verdicts")
+    pages = synth_pages_local(
+        spark, 120, include_fixtures=False, htmlonly_every=11
+    ).cache()
+    hurls = {r.url for r in pages.filter("text = ''").select("url").collect()}
+    assert len(hurls) >= 2
+    batch1 = pages.filter(F.col("url").isin(list(hurls)[:1]) | (F.col("text") != ""))
+    snap1, n1 = run_resumable_pipeline(
+        spark, batch1, store, num_partitions=2, html_fallback=True
+    )
+    assert snap1 == 0 and n1 > 0
+    # second batch carries the REMAINING html-only docs (different bodies,
+    # same empty raw text): all must commit, none anti-joined away
+    snap2, n2 = run_resumable_pipeline(
+        spark, pages, store, num_partitions=2, html_fallback=True
+    )
+    assert snap2 == 1 and n2 == len(hurls) - 1
+    committed = store.read(spark)
+    got = {r.url for r in committed.select("url").collect()}
+    assert hurls <= got
+    kept_html = committed.filter(
+        F.col("url").isin(list(hurls)) & F.col("keep")
+    )
+    assert kept_html.count() == len(hurls)
+    # idempotent rerun
+    snap3, n3 = run_resumable_pipeline(
+        spark, pages, store, num_partitions=2, html_fallback=True
+    )
+    assert snap3 == -1 and n3 == 0
