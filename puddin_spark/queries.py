@@ -1107,6 +1107,94 @@ def _oracle_html_extract() -> str:
     )
 
 
+def _messy_url_col():
+    """Deterministic messy url per doc_id — mixed-case scheme/host,
+    userinfo, port, a two-level public suffix, and rotating query/fragment
+    noise. Built identically in the oracle (_messy_url_sql)."""
+    m3 = F.col("doc_id") % 3
+    return F.concat(
+        F.lit("HTTPS://User@WWW.Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".CO.UK:8443/Item/"),
+        F.col("doc_id").cast("string"),
+        F.when(m3 == 0, F.lit("?utm_source=a&page=2&gclid=xyz#top"))
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("?page="),
+                F.col("doc_id").cast("string"),
+                F.lit("&utm_campaign=z"),
+            ),
+        )
+        .otherwise(F.lit("#sec")),
+    )
+
+
+_MESSY_URL_SQL = (
+    "('HTTPS://User@WWW.Site' || cast(doc_id % 7 as varchar) || "
+    "'.CO.UK:8443/Item/' || cast(doc_id as varchar) || "
+    "case cast(doc_id % 3 as int) "
+    "when 0 then '?utm_source=a&page=2&gclid=xyz#top' "
+    "when 1 then '?page=' || cast(doc_id as varchar) || '&utm_campaign=z' "
+    "else '#sec' end)"
+)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + host/registered-domain extraction
+    (operators/urls.py) over deterministically-messied urls."""
+    from puddin_spark.operators import urls as U
+
+    d = read_table(spark, sf_dir, "documents")
+    with_raw = d.select("doc_id", _messy_url_col().alias("raw_url"))
+    host = U.url_host("raw_url")
+    return with_raw.select(
+        "doc_id",
+        U.canonical_url("raw_url").alias("canonical"),
+        host.alias("host"),
+        U.url_domain(host).alias("domain"),
+    )
+
+
+def _oracle_url_canonicalize() -> str:
+    from puddin_spark.operators.urls import (
+        duckdb_canonical_sql,
+        duckdb_domain_sql,
+        duckdb_host_sql,
+    )
+
+    host = duckdb_host_sql(_MESSY_URL_SQL)
+    return (
+        f"select doc_id, {duckdb_canonical_sql(_MESSY_URL_SQL)} as canonical, "
+        f"{host} as host, {duckdb_domain_sql(host)} as domain from documents"
+    )
+
+
+_BLOCKED_DOMAINS = ("site1.co.uk", "site4.co.uk")
+
+
+def q_domain_blocklist(spark, sf_dir):
+    """Registered-domain blocklist gate: broadcast equi-anti-join on the
+    domain (covers every subdomain without a LIKE scan)."""
+    from puddin_spark.operators.urls import filter_by_domain_blocklist
+
+    d = read_table(spark, sf_dir, "documents")
+    pages = d.select("doc_id", _messy_url_col().alias("raw_url"))
+    blocked = spark.createDataFrame(
+        [(b,) for b in _BLOCKED_DOMAINS], schema="domain string"
+    )
+    out = filter_by_domain_blocklist(pages, blocked, url_col="raw_url")
+    return out.select("doc_id")
+
+
+def _oracle_domain_blocklist() -> str:
+    from puddin_spark.operators.urls import duckdb_domain_sql, duckdb_host_sql
+
+    dom = duckdb_domain_sql(duckdb_host_sql(_MESSY_URL_SQL))
+    blocked = ", ".join(f"'{b}'" for b in _BLOCKED_DOMAINS)
+    return f"select doc_id from documents where {dom} not in ({blocked})"
+
+
 def q_fingerprints(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return d.select(
@@ -1715,6 +1803,8 @@ SPARK_QUERIES = {
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "html_extract": q_html_extract,
+    "url_canonicalize": q_url_canonicalize,
+    "domain_blocklist": q_domain_blocklist,
     "langid_heuristic": q_langid_heuristic,
     "multimodal_meta": q_multimodal_meta,
     "media_frames": q_media_frames,
@@ -1769,6 +1859,8 @@ def oracle_queries() -> dict[str, str]:
         "token_counts": O_TOKEN_COUNTS,
         "fingerprints": O_FINGERPRINTS,
         "html_extract": _oracle_html_extract(),
+        "url_canonicalize": _oracle_url_canonicalize(),
+        "domain_blocklist": _oracle_domain_blocklist(),
         "langid_heuristic": O_LANGID_HEURISTIC,
         "multimodal_meta": O_MULTIMODAL_META,
         "media_frames": O_MEDIA_FRAMES,

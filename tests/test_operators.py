@@ -529,3 +529,59 @@ def test_html_extract_stays_in_codegen(spark):
     # synth html wraps a prefix of text in <html><body>...</body></html>
     row = out.first()
     assert row.t and "<" not in row.t
+
+
+def test_url_canonicalize_edges(spark):
+    """Spec edges: lone tracking param, tracking-first with successor,
+    fragment-only, schemeless value, suffix-aware domains."""
+    from puddin_spark.operators.urls import canonical_url, url_domain, url_host
+
+    rows = [
+        (1, "HTTP://EX.com/a?utm_source=x"),          # lone tracking param
+        (2, "http://ex.com/a?utm_x=1&q=2"),            # tracking first, kept successor
+        (3, "http://ex.com/a?q=2&fbclid=abc#frag"),    # tracking last + fragment
+        (4, "not a url"),                              # schemeless passthrough
+        (5, "https://User@Sub.Shop.CO.UK:443/P?q=1"),  # userinfo/port/suffix
+        (6, "http://ex.com/a?gclid=z&utm_b=c"),        # all params tracking
+    ]
+    df = spark.createDataFrame(rows, "i int, u string")
+    got = {
+        r.i: (r.c, r.h, r.d)
+        for r in df.select(
+            "i",
+            canonical_url("u").alias("c"),
+            url_host("u").alias("h"),
+            url_domain(url_host("u")).alias("d"),
+        ).collect()
+    }
+    assert got[1][0] == "http://ex.com/a"
+    assert got[2][0] == "http://ex.com/a?q=2"
+    assert got[3][0] == "http://ex.com/a?q=2"
+    assert got[4] == ("not a url", "", "")
+    assert got[5] == (
+        "https://user@sub.shop.co.uk:443/P?q=1",
+        "sub.shop.co.uk",
+        "shop.co.uk",
+    )
+    assert got[6][0] == "http://ex.com/a"
+
+
+def test_domain_blocklist_covers_subdomains_and_broadcasts(spark):
+    """A blocked registered domain removes every subdomain via the equi
+    anti-join, and the plan must broadcast the blocklist side."""
+    from puddin_spark.operators.urls import filter_by_domain_blocklist
+    from puddin_spark.plans import executed_plan
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/x"),
+            (2, "https://deep.cdn.spam.example.com/y"),
+            (3, "https://ok.example.org/z"),
+        ],
+        "i int, url string",
+    )
+    blocked = spark.createDataFrame([("example.com",)], "domain string")
+    out = filter_by_domain_blocklist(pages, blocked)
+    assert [r.i for r in out.orderBy("i").collect()] == [3]
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
