@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "conllu_annotated",
     "lemma_stats_rollup",
     "ann_ivf_topk",
+    "html_extract",
+    "url_canonicalize",
 ]
 
 

@@ -40,6 +40,7 @@ def run_streaming_pipeline(
     num_partitions: int = 32,
     available_now: bool = True,
     near_dedup: bool = False,
+    html_fallback: bool = False,
 ):
     """Continuous ingestion: each micro-batch runs the batch pipeline body
     and commits atomically. Returns the StreamingQuery (caller awaits).
@@ -50,7 +51,7 @@ def run_streaming_pipeline(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_resumable_pipeline(
             spark, batch_df, store, num_partitions=num_partitions,
-            near_dedup=near_dedup,
+            near_dedup=near_dedup, html_fallback=html_fallback,
         )
 
     writer = (

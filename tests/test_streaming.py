@@ -204,3 +204,27 @@ def test_streaming_near_dedup(spark, tmp_path):
     q2.awaitTermination(300)
     row = store.read(spark).filter(F.col("url") == "https://twin.example/s").collect()[0]
     assert row.keep is False and row.excl_type == "near_dup"
+
+
+def test_stream_html_fallback_commits_wet_missing(spark, tmp_path):
+    """html_fallback flows through foreachBatch: WET-missing drops are
+    extracted and committed as kept docs across micro-batches."""
+    d = tmp_path / "drops"
+    d.mkdir(exist_ok=True)
+    pdf = gen_rows(61, 160, include_fixtures=False, htmlonly_every=11)
+    spark.createDataFrame(pdf, SPARK_SCHEMA_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    n_html = int((pdf["text"] == "").sum())
+    assert n_html >= 2
+
+    store = SnapshotStore(tmp_path / "store")
+    q = run_streaming_pipeline(
+        spark, str(d), store, str(tmp_path / "ckpt"),
+        num_partitions=2, html_fallback=True,
+    )
+    q.awaitTermination(300)
+    got = store.read(spark)
+    kept_html = got.filter("url like 'https://synth.example.org/h/%' and keep")
+    assert kept_html.count() == n_html
+    assert kept_html.filter("clean_text is null or clean_text = ''").count() == 0
