@@ -91,3 +91,40 @@ def fingerprint_col(text_col: str):
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercased text (rolling-hash analog, portable across engines)."""
     return F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+
+
+def apply_quality_gate(
+    verdicts: DataFrame, min_score: float, text_col: str = "clean_text"
+) -> DataFrame:
+    """Model-tier quality filter composing AFTER the rule battery: kept
+    docs scoring under `min_score` flip to keep=false with
+    excl_type='low_quality' (clean_text nulled per the verdict contract);
+    already-dropped docs pass through untouched. Pure codegen projection —
+    no shuffle, no Python — so it rides the same stage as the sink write.
+    """
+    score = (
+        F.least(F.round(stopword_ratio_col(text_col), 6) * 2, F.lit(1.0)) * 0.5
+        + (1 - F.least(F.round(punct_ratio_col(text_col), 6) * 4, F.lit(1.0))) * 0.3
+        + F.when(
+            (F.round(mean_word_len_col(text_col), 6) >= 3)
+            & (F.round(mean_word_len_col(text_col), 6) <= 10),
+            0.2,
+        ).otherwise(0.0)
+    )
+    low = F.col("keep") & (F.round(score, 6) < min_score)
+    keep_cols = verdicts.columns
+    out = verdicts.withColumn("_low", low).select(
+        *[
+            c
+            for c in keep_cols
+            if c not in ("keep", "excl_type", text_col)
+        ],
+        F.when(F.col("_low"), F.lit(None).cast("string"))
+        .otherwise(F.col(text_col))
+        .alias(text_col),
+        (F.col("keep") & ~F.col("_low")).alias("keep"),
+        F.when(F.col("_low"), F.lit("low_quality"))
+        .otherwise(F.col("excl_type"))
+        .alias("excl_type"),
+    )
+    return out.select(*keep_cols)  # original column order

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from puddin_spark.operators import dedup, similarity, textstats
 from puddin_spark.operators.multimodal import extract_media_meta, sample_frames
-from puddin_spark.pipeline import quality_pipeline
+from puddin_spark.pipeline import dedup_first, quality_pipeline
 from puddin_spark.udfs import classify_udf, scrub_stage1_udf, segment_udf
 
 TABLES = (
@@ -1195,6 +1195,80 @@ def _oracle_domain_blocklist() -> str:
     return f"select doc_id from documents where {dom} not in ({blocked})"
 
 
+def q_quality_gate(spark, sf_dir):
+    """Model-tier quality filter (textstats.apply_quality_gate) composed
+    after a keep-everything battery: documents scoring under the threshold
+    flip to excl_type='low_quality'. Threshold 0.56 ~ the corpus median so
+    both outcomes are exercised."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        F.lit(True).alias("keep"),
+        F.lit(None).cast("string").alias("excl_type"),
+    )
+    out = textstats.apply_quality_gate(d, min_score=0.56)
+    return out.select("doc_id", "keep", "excl_type")
+
+
+def _oracle_quality_gate() -> str:
+    return f"""
+select doc_id, quality_score >= 0.56 as keep,
+       case when quality_score >= 0.56 then null else 'low_quality' end as excl_type
+from ({O_QUALITY_SCORES}) q
+"""
+
+
+def q_dedup_canonical_url(spark, sf_dir):
+    """Fuzzy URL dedup by composition: dedup_first keyed on canonical_url
+    — even/odd doc_id pairs share an item page behind case + tracking-param
+    + fragment noise; keep-first (min warc_ts) retains the even twin."""
+    from puddin_spark.operators.urls import canonical_url
+
+    d = read_table(spark, sf_dir, "documents")
+    odd = (F.col("doc_id") % 2) == 1
+    url = F.concat(
+        F.when(odd, F.lit("HTTPS://WWW.Shop.CO.UK/item/")).otherwise(
+            F.lit("https://www.shop.co.uk/item/")
+        ),
+        (F.col("doc_id") - (F.col("doc_id") % 2)).cast("string"),
+        F.when(odd, F.lit("?utm_source=feed#frag")).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        "doc_id",
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+    )
+    out = dedup_first(pages, key=canonical_url("url"))
+    return out.select(
+        "doc_id", canonical_url("url").alias("canonical")
+    )
+
+
+def _oracle_dedup_canonical_url() -> str:
+    from puddin_spark.operators.urls import duckdb_canonical_sql
+
+    return f"""
+with pages as (
+  select doc_id,
+         case when doc_id % 2 = 1 then 'HTTPS://WWW.Shop.CO.UK/item/'
+              else 'https://www.shop.co.uk/item/' end
+         || cast(doc_id - (doc_id % 2) as varchar)
+         || case when doc_id % 2 = 1 then '?utm_source=feed#frag' else '' end
+           as url,
+         to_timestamp(1704067200 + doc_id) as warc_ts
+  from documents),
+canon as (select doc_id, url, warc_ts,
+                 {duckdb_canonical_sql('url')} as canonical from pages),
+r as (select doc_id, canonical,
+             row_number() over (partition by canonical
+                                order by warc_ts, url) as rn
+      from canon)
+select doc_id, canonical from r where rn = 1
+"""
+
+
 def q_fingerprints(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return d.select(
@@ -1805,6 +1879,8 @@ SPARK_QUERIES = {
     "html_extract": q_html_extract,
     "url_canonicalize": q_url_canonicalize,
     "domain_blocklist": q_domain_blocklist,
+    "quality_gate": q_quality_gate,
+    "dedup_canonical_url": q_dedup_canonical_url,
     "langid_heuristic": q_langid_heuristic,
     "multimodal_meta": q_multimodal_meta,
     "media_frames": q_media_frames,
@@ -1861,6 +1937,8 @@ def oracle_queries() -> dict[str, str]:
         "html_extract": _oracle_html_extract(),
         "url_canonicalize": _oracle_url_canonicalize(),
         "domain_blocklist": _oracle_domain_blocklist(),
+        "quality_gate": _oracle_quality_gate(),
+        "dedup_canonical_url": _oracle_dedup_canonical_url(),
         "langid_heuristic": O_LANGID_HEURISTIC,
         "multimodal_meta": O_MULTIMODAL_META,
         "media_frames": O_MEDIA_FRAMES,

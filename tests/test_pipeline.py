@@ -297,3 +297,37 @@ def test_html_fallback_recovers_wet_missing_rows(spark):
     rest_off = {r.url: r.clean_text for r in off.filter(~F.col("url").isin(urls)).collect()}
     rest_on = {r.url: r.clean_text for r in on.filter(~F.col("url").isin(urls)).collect()}
     assert rest_off == rest_on
+
+
+def test_apply_quality_gate_composes_with_verdicts(spark, verdicts):
+    """Model-tier quality gate after the rule battery: only previously-kept
+    docs can flip (to excl_type='low_quality', clean_text nulled); dropped
+    docs and the verdict schema contract are untouched."""
+    from puddin_spark.operators.textstats import apply_quality_gate
+
+    gated = apply_quality_gate(verdicts, min_score=0.701)
+    assert gated.columns == verdicts.columns
+    flipped = gated.filter("excl_type = 'low_quality'")
+    n_flipped = flipped.count()
+    assert n_flipped > 0  # threshold sits inside the kept-score range
+    assert gated.filter("keep").count() > 0  # ...and spares the top half
+    assert flipped.filter("keep or clean_text is not null").count() == 0
+    # every flipped doc was previously kept
+    prev = verdicts.select("doc_id", F.col("keep").alias("was_keep"))
+    assert (
+        flipped.join(prev, "doc_id").filter("not was_keep").count() == 0
+    )
+    # originally-dropped docs are byte-identical rows
+    a = verdicts.filter("not keep")
+    b = gated.join(a.select("doc_id"), "doc_id", "left_semi")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # no shuffle, no Python in the gate itself
+    from puddin_spark.plans import executed_plan
+
+    plan_tail = executed_plan(
+        apply_quality_gate(
+            verdicts.localCheckpoint(eager=False), min_score=0.701
+        )
+    )
+    assert "Exchange" not in plan_tail
+    assert "ArrowEvalPython" not in plan_tail and "BatchEvalPython" not in plan_tail
