@@ -44,9 +44,17 @@ def cmd_run(args) -> int:
     if args.limit:
         pages = pages.limit(args.limit)
     store = SnapshotStore(f"{args.dest}/verdicts")
+    blocked = None
+    if args.blocklist:
+        # csv (header: domain) or parquet of registered domains
+        if args.blocklist.endswith(".csv"):
+            blocked = spark.read.option("header", True).csv(args.blocklist)
+        else:
+            blocked = spark.read.parquet(args.blocklist)
     snap_id, n_new = run_resumable_pipeline(
         spark, pages, store, num_partitions=args.partitions,
         near_dedup=args.near_dedup, html_fallback=args.html_fallback,
+        blocked_domains=blocked,
     )
     out = {"snapshot_id": snap_id, "new_docs": n_new}
     if snap_id >= 0:
@@ -260,6 +268,12 @@ def main(argv: list[str] | None = None) -> int:
                 help="fuzzy-dedup each batch against all prior batches via"
                 " the minhash index sidecar; near-dup newcomers get"
                 " excl_type='near_dup'",
+            )
+            sp.add_argument(
+                "--blocklist",
+                default=None,
+                help="csv (header: domain) or parquet of registered domains"
+                " to record as excl_type='blocked_domain'",
             )
             sp.add_argument(
                 "--html-fallback",

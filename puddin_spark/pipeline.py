@@ -70,6 +70,7 @@ def quality_pipeline(
     pii_scrub: bool = False,
     with_timing: bool = False,
     html_fallback: bool = False,
+    blocked_domains: DataFrame | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> per-document verdict table
     (doc_id, url, warc_ts, lang, clean_text, keep, excl_type).
@@ -88,6 +89,16 @@ def quality_pipeline(
     text is null/empty (JVM-only chain, operators/html.py). Off by default:
     the reference ingests pre-extracted Pile text, and byte-parity is
     defined on that column.
+
+    blocked_domains (a DataFrame with a `domain` column of registered
+    domains) records matching docs as verdict rows with
+    excl_type='blocked_domain' instead of silently removing them — the
+    completeness invariant (every selected url exactly once across
+    keep ∪ drop) survives, and validation needs no allowlist. The marker
+    join broadcasts the blocklist; blocked rows ship an empty string
+    through the scrub UDF (their Python cost is ~zero) and dedup still
+    runs on real content, so a blocked duplicate can shadow an unblocked
+    twin — content dedup is domain-blind by design.
     """
     if html_fallback:
         # rows whose WET text is absent fall back to extracting from the
@@ -100,6 +111,21 @@ def quality_pipeline(
     df = pages.filter(F.col("lang") == selected_lang)
     # prune early: html bytes never reach the Python workers
     df = df.select("url", "warc_ts", "lang", "text")
+    blocked = F.lit(False)
+    if blocked_domains is not None:
+        from puddin_spark.operators.urls import url_domain, url_host
+
+        marker = F.broadcast(
+            blocked_domains.select(
+                F.lower("domain").alias("_dom"), F.lit(True).alias("_blk")
+            )
+        )
+        df = (
+            df.withColumn("_dom", url_domain(url_host("url")))
+            .join(marker, "_dom", "left")
+            .drop("_dom")
+        )
+        blocked = F.coalesce(F.col("_blk"), F.lit(False))
     if dedup and num_partitions:
         # ONE shuffle serves both needs: an explicit repartition on the text
         # digest (a) satisfies the dedup window's required distribution, so
@@ -123,7 +149,14 @@ def quality_pipeline(
         # would re-hash num_partitions distinct values into num_partitions
         # partitions (balls-in-bins: ~37% empty, stragglers elsewhere)
         df = df.repartition(num_partitions, F.col("url"))
-    out = df.withColumn("_res", process_udf(F.col("text")))
+    # blocked rows ship '' through the UDF: the battery result is ignored
+    # for them below, so don't pay Python for bytes that can't matter
+    udf_text = (
+        F.when(blocked, F.lit("")).otherwise(F.col("text"))
+        if blocked_domains is not None
+        else F.col("text")
+    )
+    out = df.withColumn("_res", process_udf(udf_text))
     if with_timing:
         from puddin_spark.udfs import batch_ts_udf
 
@@ -141,9 +174,13 @@ def quality_pipeline(
         # digest of the RAW text: lets incremental runs dedup globally
         # against already-committed documents without storing bodies
         F.sha2("text", 256).alias("text_sha"),
-        clean.alias("clean_text"),
-        F.col("_res.excl_type").isNull().alias("keep"),
-        F.col("_res.excl_type").alias("excl_type"),
+        F.when(blocked, F.lit(None).cast("string"))
+        .otherwise(clean)
+        .alias("clean_text"),
+        (F.col("_res.excl_type").isNull() & ~blocked).alias("keep"),
+        F.when(blocked, F.lit("blocked_domain"))
+        .otherwise(F.col("_res.excl_type"))
+        .alias("excl_type"),
         *([F.col("_pts").alias("proc_ts")] if with_timing else []),
     )
     expected = OUTPUT_COLS + (["proc_ts"] if with_timing else [])

@@ -367,6 +367,7 @@ def run_resumable_pipeline(
     num_partitions: int = 32,
     near_dedup: bool = False,
     html_fallback: bool = False,
+    blocked_domains=None,
 ) -> tuple[int, int]:
     """One resumable pipeline run: process only not-yet-committed urls,
     commit verdicts + per-partition lineage atomically.
@@ -428,7 +429,10 @@ def run_resumable_pipeline(
             )
     # with_timing: Arrow-batch stamps ride the UDF pass so the committed
     # lineage carries real per-partition started_at/finished_at/duration_s
-    verdicts = quality_pipeline(todo, num_partitions=num_partitions, with_timing=True)
+    verdicts = quality_pipeline(
+        todo, num_partitions=num_partitions, with_timing=True,
+        blocked_domains=blocked_domains,
+    )
     raw_verdicts = verdicts = verdicts.persist()
     new_idx = None
     try:

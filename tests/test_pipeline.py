@@ -331,3 +331,39 @@ def test_apply_quality_gate_composes_with_verdicts(spark, verdicts):
     )
     assert "Exchange" not in plan_tail
     assert "ArrowEvalPython" not in plan_tail and "BatchEvalPython" not in plan_tail
+
+
+def test_blocked_domains_become_verdict_rows(spark):
+    """Domain blocklisting records excl_type='blocked_domain' verdicts
+    instead of silently removing rows: completeness + validation hold, and
+    unblocked verdicts are byte-identical to a blocklist-free run."""
+    from puddin_spark.validation import validate_run
+
+    pages = synth_pages_local(spark, 200).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"),
+            (F.crc32(F.col("url")) % 5).cast("string"),
+            F.lit(".com/p/"),
+            F.sha2("url", 256),
+        ),
+    ).cache()
+    blocked = spark.createDataFrame([("site2.com",)], "domain string")
+    v = quality_pipeline(pages, num_partitions=4, blocked_domains=blocked).cache()
+
+    blk = v.filter("excl_type = 'blocked_domain'")
+    n_blk = blk.count()
+    assert n_blk > 0
+    assert blk.filter("keep or clean_text is not null").count() == 0
+    assert (
+        v.filter("url like 'https://site2.com/%' and excl_type != 'blocked_domain'").count()
+        == 0
+    )
+    # unblocked rows are identical to a run without any blocklist
+    plain = quality_pipeline(pages, num_partitions=4)
+    a = v.filter("excl_type is null or excl_type != 'blocked_domain'")
+    b = plain.join(a.select("doc_id"), "doc_id", "left_semi")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # completeness: blocked rows still count as covered
+    summary, _ = validate_run(pages, v)
+    assert summary["ok"], summary
