@@ -94,3 +94,41 @@ def test_cli_validate_known_fail_and_overview(tmp_path):
     code3, ov = _run(["overview", "-d", dest, "--master", "local[4]"])
     assert code3 == 0
     assert ov["current_snapshot_id"] == 0 and ov["snapshots"][0]["n_docs"] == 12
+
+
+def test_cli_run_html_fallback_and_blocklist(tmp_path, spark):
+    """The two web-table flags through the real CLI: WET-missing rows are
+    recovered from html, blocklisted domains are recorded (not removed),
+    and validate stays ok over the combined verdicts."""
+    from puddin_spark.synth import SPARK_SCHEMA_DDL, gen_rows
+    from pyspark.sql import functions as F
+
+    pages_dir = str(tmp_path / "pages")
+    pdf = gen_rows(61, 181, include_fixtures=False, htmlonly_every=13)
+    spark.createDataFrame(pdf, SPARK_SCHEMA_DDL).write.parquet(pages_dir)
+    bl = tmp_path / "blocked.csv"
+    bl.write_text("domain\nexample.org\n")  # synth hosts are *.example.org
+
+    dest = str(tmp_path / "out")
+    code, out = _run(
+        [
+            "run", "-i", pages_dir, "-d", dest, "--partitions", "2",
+            "--master", "local[4]", "--html-fallback", "--blocklist", str(bl),
+        ]
+    )
+    assert code == 0 and out["new_docs"] > 0
+    v = spark.read.parquet(*[
+        str(p) for p in (tmp_path / "out" / "verdicts").glob("snap-*/data")
+    ])
+    # every en row became a blocked verdict (synth domain is blocklisted),
+    # including the WET-missing ones recovered via --html-fallback
+    assert out["total_keep"] == 0
+    assert v.filter("excl_type != 'blocked_domain'").count() == 0
+    n_html = int((pdf["text"] == "").sum())
+    assert n_html > 0
+    assert (
+        v.filter(F.col("url").startswith("https://synth.example.org/h/")).count()
+        == n_html
+    )
+    code, val = _run(["validate", "-i", pages_dir, "-d", dest, "--master", "local[4]"])
+    assert code == 0 and val["ok"], val
