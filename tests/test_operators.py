@@ -585,3 +585,36 @@ def test_domain_blocklist_covers_subdomains_and_broadcasts(spark):
     assert [r.i for r in out.orderBy("i").collect()] == [3]
     plan = executed_plan(out)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_canonicalize_and_extract_are_idempotent(spark):
+    """Fixed-point properties: canonical_url(canonical_url(u)) ==
+    canonical_url(u) and extract(extract(html)) == extract(html) — a
+    normalizer that keeps moving on its own output corrupts re-processed
+    (resumed / recrawled) corpora."""
+    from puddin_spark.operators.html import extract_text_from_html
+    from puddin_spark.operators.urls import canonical_url
+    from puddin_spark.synth import _h
+
+    urls = []
+    for i in range(60):
+        scheme = ["http", "HTTPS", "ftp"][i % 3]
+        host = f"WWW.s{_h(i, 'h') % 9}.Example.{['com', 'co.uk', 'org'][i % 3]}"
+        q = ["", "?utm_source=x", "?a=1&utm_b=2&c=3", "?gclid=z#f", "#frag"][i % 5]
+        urls.append((i, f"{scheme}://{host}:{8000 + i % 3}/P{i}{q}"))
+    df = spark.createDataFrame(urls, "i int, u string")
+    once = canonical_url("u")
+    twice = canonical_url(canonical_url("u"))
+    assert df.filter(once != twice).count() == 0
+
+    pages = spark.createDataFrame(
+        [
+            (i, f"<html><head><title>t</title></head><body><h1>H{i}</h1>"
+                f"<p>alpha &amp; beta {i}</p><br/><div>tail</div></body></html>")
+            for i in range(40)
+        ],
+        "i int, h string",
+    )
+    e1 = extract_text_from_html("h")
+    e2 = extract_text_from_html(extract_text_from_html("h"))
+    assert pages.filter(e1 != e2).count() == 0
