@@ -55,6 +55,7 @@ def cmd_run(args) -> int:
         spark, pages, store, num_partitions=args.partitions,
         near_dedup=args.near_dedup, html_fallback=args.html_fallback,
         blocked_domains=blocked,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
     )
     out = {"snapshot_id": snap_id, "new_docs": n_new}
     if snap_id >= 0:
@@ -268,6 +269,14 @@ def main(argv: list[str] | None = None) -> int:
                 help="fuzzy-dedup each batch against all prior batches via"
                 " the minhash index sidecar; near-dup newcomers get"
                 " excl_type='near_dup'",
+            )
+            sp.add_argument(
+                "--partition-by",
+                default=None,
+                help="comma-separated verdict columns (e.g. lang) to"
+                " directory-partition each committed snapshot by; readers"
+                " filtering on them prune files (Iceberg partition-spec"
+                " analog, preserved by compact/rollback)",
             )
             sp.add_argument(
                 "--blocklist",

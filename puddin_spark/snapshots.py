@@ -368,6 +368,7 @@ def run_resumable_pipeline(
     near_dedup: bool = False,
     html_fallback: bool = False,
     blocked_domains=None,
+    partition_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """One resumable pipeline run: process only not-yet-committed urls,
     commit verdicts + per-partition lineage atomically.
@@ -451,7 +452,9 @@ def run_resumable_pipeline(
         )
         # proc_ts is lineage-only instrumentation — the published verdict
         # schema (OUTPUT_COLS) is what lands in the store
-        snap_id = store.commit(verdicts.drop("proc_ts"), lineage)
+        snap_id = store.commit(
+            verdicts.drop("proc_ts"), lineage, partition_by=partition_by
+        )
         if near_dedup and new_idx is not None:
             # index lands AFTER the verdict commit (see docstring for the
             # crash-lag recovery); only this batch's surviving kept docs.

@@ -328,3 +328,32 @@ def test_resume_html_fallback_digest_uses_extracted_text(spark, tmp_path):
         spark, pages, store, num_partitions=2, html_fallback=True
     )
     assert snap3 == -1 and n3 == 0
+
+
+def test_resumable_pipeline_partition_by(spark, tmp_path):
+    """Verdict snapshots can land directory-partitioned (Iceberg
+    partition-spec analog) straight from the pipeline: files carry the
+    lang=... layout, reads reassemble the full table, resume still works,
+    and compact() preserves the spec."""
+    store = SnapshotStore(tmp_path / "verdicts")
+    pages = synth_pages_local(spark, 120).cache()
+    snap1, n1 = run_resumable_pipeline(
+        spark, pages, store, num_partitions=2, partition_by=["lang"]
+    )
+    assert snap1 == 0 and n1 > 0
+    dirs = list((tmp_path / "verdicts").glob("snap-*/data/lang=*"))
+    assert dirs, "expected lang=... partition directories"
+    v1 = store.read(spark)
+    assert v1.count() == n1 and "lang" in v1.columns
+
+    more = synth_pages_local(spark, 200)
+    snap2, n2 = run_resumable_pipeline(
+        spark, more, store, num_partitions=2, partition_by=["lang"]
+    )
+    assert snap2 == 1 and n2 > 0
+    assert store.read(spark).count() == n1 + n2
+
+    cid = store.compact(spark)
+    assert cid == 2
+    assert list((tmp_path / "verdicts").glob(f"snap-{cid:06d}-*/data/lang=*"))
+    assert store.read(spark).count() == n1 + n2
