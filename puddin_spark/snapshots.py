@@ -253,14 +253,24 @@ class SnapshotStore:
         if not recs:
             return None
         dirs = [str(self.base / r[f"{kind}_dir"]) for r in recs]
-        if any(r.get("partition_by") for r in recs):
-            # directory-partitioned snapshots: each snapshot dir is its own
-            # partition-discovery root (Spark rejects multi-root discovery),
-            # so load per-dir and union — filters still push through Union
-            # into every branch's scan, so partition pruning is preserved
-            out = spark.read.parquet(dirs[0])
-            for d in dirs[1:]:
-                out = out.unionByName(spark.read.parquet(d))
+        partitioned = any(r.get("partition_by") for r in recs)
+        # schema evolution (Iceberg add-column analog): snapshots written
+        # before a column existed must still read — old rows surface null.
+        # The multi-path fast scan below takes ONE file's schema and would
+        # silently DROP later-added columns, so compare per-dir schemas
+        # first (driver-side footer sample each, O(active snapshots), cheap
+        # because compact() bounds the snapshot count) and fall back to a
+        # per-dir union that fills missing columns.
+        frames = [spark.read.parquet(d) for d in dirs]
+        schemas = {tuple(sorted((f.name, f.dataType.simpleString()) for f in df.schema.fields)) for df in frames}
+        if len(schemas) > 1 or partitioned:
+            # partitioned snapshots also union per-dir: each dir is its own
+            # partition-discovery root (Spark rejects multi-root discovery).
+            # Filters push through Union into every branch's scan, so
+            # partition pruning is preserved.
+            out = frames[0]
+            for df in frames[1:]:
+                out = out.unionByName(df, allowMissingColumns=True)
             return out
         return spark.read.parquet(*dirs)
 

@@ -357,3 +357,42 @@ def test_resumable_pipeline_partition_by(spark, tmp_path):
     assert cid == 2
     assert list((tmp_path / "verdicts").glob(f"snap-{cid:06d}-*/data/lang=*"))
     assert store.read(spark).count() == n1 + n2
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Iceberg add-column analog: snapshots committed before a column
+    existed still read after later snapshots add one — old rows null-fill,
+    new columns are never silently dropped by the multi-dir fast scan.
+    Time travel to the old snapshot returns the old schema."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(tmp_path / "t")
+    v1 = spark.range(0, 5).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.lit(True).alias("keep"),
+    )
+    store.commit(v1)
+    v2 = spark.range(5, 9).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.lit(False).alias("keep"),
+        F.lit("low_quality").alias("excl_type"),  # column added in v2
+    )
+    store.commit(v2)
+
+    got = store.read(spark)
+    assert set(got.columns) == {"url", "keep", "excl_type"}
+    assert got.count() == 9
+    assert got.filter("excl_type is null").count() == 5  # old rows null-fill
+    assert got.filter("excl_type = 'low_quality'").count() == 4
+    # time travel: the pre-evolution snapshot keeps its own schema
+    assert store.read(spark, as_of=0).columns == ["url", "keep"]
+
+    # same contract under directory partitioning
+    store2 = SnapshotStore(tmp_path / "p")
+    store2.commit(v1.withColumn("lang", F.lit("en")), partition_by=["lang"])
+    store2.commit(
+        v2.withColumn("lang", F.lit("de")), partition_by=["lang"]
+    )
+    got2 = store2.read(spark)
+    assert got2.count() == 9
+    assert got2.filter("lang = 'de' and excl_type is not null").count() == 4
