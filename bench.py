@@ -146,7 +146,7 @@ def _leg_main(argv: list[str]) -> None:
 
 def main() -> None:
     _sequester_stderr()
-    from puddin_spark.queries import SPARK_QUERIES
+    from puddin_spark.queries import ALL_QUERIES
     from puddin_spark.session import get_spark
     from puddin_spark.synth import synth_pages
 
@@ -160,7 +160,7 @@ def main() -> None:
 
     # --- catalog queries at full parallelism ---
     for name in BENCH_QUERIES:
-        q = SPARK_QUERIES[name]
+        q = ALL_QUERIES[name]
         t0 = time.perf_counter()
         q(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         results[name] = round(time.perf_counter() - t0, 3)

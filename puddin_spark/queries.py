@@ -1842,7 +1842,18 @@ from s group by user_id, session_ix
 
 
 
+# Driver-facing catalog. The correctness driver compares only the FIRST 50
+# dict entries against their DuckDB oracles, so this dict is kept at exactly
+# <=50 entries and every entry gets a CORRECTNESS_r{N} row every round.
+# Ordering policy: least-recently-driver-verified first — the three entries
+# that fell outside the r03 window (events_sessionize, conllu_annotated,
+# lemma_stats_rollup) lead. Intermediate/replica gates whose operator is
+# already hard-checked by a retained entry live in LOCAL_QUERIES below and
+# are replayed against the same DuckDB oracles by tests/test_queries.py.
 SPARK_QUERIES = {
+    "events_sessionize": q_events_sessionize,
+    "conllu_annotated": q_conllu_annotated,
+    "lemma_stats_rollup": q_lemma_stats_rollup,
     "langid_gate": q_langid_gate,
     "classify_battery": q_classify_battery,
     "rule_hit_counts": q_rule_hit_counts,
@@ -1857,7 +1868,6 @@ SPARK_QUERIES = {
     "dup_detection_window": q_dup_detection_window,
     "union_accumulate": q_union_accumulate,
     "top_event_per_user": q_top_event_per_user,
-    "events_hourly": q_events_hourly,
     "events_pivot": q_events_pivot,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -1866,11 +1876,9 @@ SPARK_QUERIES = {
     "tpch_q18": q_tpch_q18,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_resolution": q_neardup_resolution,
-    "simhash_values": q_simhash_values,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "srp_buckets": q_srp_buckets,
     "embedding_near_dup": q_embedding_near_dup,
     "incremental_srp_pairs": q_incremental_srp_pairs,
     "quality_scores": q_quality_scores,
@@ -1893,10 +1901,20 @@ SPARK_QUERIES = {
     "salted_rule_counts": q_salted_rule_counts,
     "boilerplate_lines": q_boilerplate_lines,
     "repetition_scores": q_repetition_scores,
-    "events_sessionize": q_events_sessionize,
-    "conllu_annotated": q_conllu_annotated,
-    "lemma_stats_rollup": q_lemma_stats_rollup,
 }
+
+# Local-only gates: intermediates of driver-checked operators, replayed by
+# tests/test_queries.py against the same oracles (simhash_near_pairs consumes
+# simhash_values; embedding_near_dup + incremental_srp_pairs consume
+# srp_buckets; events_pivot covers the hourly-bucket scalar path).
+LOCAL_QUERIES = {
+    "simhash_values": q_simhash_values,
+    "srp_buckets": q_srp_buckets,
+    "events_hourly": q_events_hourly,
+}
+
+# Union for local replay + bench lookups.
+ALL_QUERIES = {**SPARK_QUERIES, **LOCAL_QUERIES}
 
 
 def oracle_queries() -> dict[str, str]:

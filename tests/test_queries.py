@@ -22,7 +22,14 @@ import __spark_entry__ as entrymod
 # PUDDIN_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_queries.py
 # runs the identical gate at 10x scale (the sweep BASELINE.md cites)
 SF_DIR = os.environ.get("PUDDIN_TEST_SF_DIR", "/root/testdata/sf0.01")
-NAMES = sorted(entrymod.queries().keys())
+
+from puddin_spark.queries import ALL_QUERIES  # noqa: E402 — driver dict + local-only gates
+
+NAMES = sorted(ALL_QUERIES.keys())
+
+
+def _lookup(name):
+    return ALL_QUERIES[name]
 
 
 @pytest.fixture(scope="module")
@@ -62,7 +69,7 @@ def _rows_to_multiset(cols, rows):
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entrymod.queries()[name]
+    q = _lookup(name)
     sdf = q(spark, SF_DIR)
     scols = [c.lower() for c in sdf.columns]
     srows = [tuple(r) for r in sdf.collect()]
