@@ -53,7 +53,12 @@ def keepdrop_confusion(
     )
     for c in ("tp", "fp", "fn", "tn", "n_pred_only"):
         agg = agg.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
-    agg = agg.crossJoin(t.agg(F.count("*").alias("_n_truth"))).withColumn(
+    agg = agg.crossJoin(
+        t.agg(
+            F.count("*").alias("_n_truth"),
+            F.sum(F.col("_t").isNull().cast("long")).alias("n_null_truth"),
+        )
+    ).withColumn(
         "n_truth_only",
         F.col("_n_truth") - (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
     )
@@ -62,7 +67,7 @@ def keepdrop_confusion(
     prec = F.when(prec_den > 0, F.col("tp") / prec_den).otherwise(F.lit(1.0))
     rec = F.when(rec_den > 0, F.col("tp") / rec_den).otherwise(F.lit(1.0))
     return agg.select(
-        "tp", "fp", "fn", "tn", "n_pred_only", "n_truth_only",
+        "tp", "fp", "fn", "tn", "n_pred_only", "n_truth_only", "n_null_truth",
         prec.alias("precision"),
         rec.alias("recall"),
         F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
@@ -78,6 +83,23 @@ def keepdrop_f1(
     pred_col: str = "keep",
     truth_col: str = "keep",
 ) -> dict:
-    """Driver-side convenience: the confusion row as a plain dict."""
+    """Driver-side convenience: the confusion row as a plain dict.
+
+    Fails loudly when the unique-key / non-null-label precondition was
+    violated (duplicate keys make n_truth_only negative; null truth labels
+    surface in n_null_truth) instead of reporting silently skewed metrics.
+    """
     row = keepdrop_confusion(pred, truth, key, pred_col, truth_col).first()
-    return row.asDict()
+    d = row.asDict()
+    if d["n_truth_only"] < 0:
+        raise ValueError(
+            f"n_truth_only={d['n_truth_only']} < 0: duplicate '{key}' keys in "
+            "pred matched the same truth rows more than once — keepdrop metrics "
+            "require one row per key in each input"
+        )
+    if d["n_null_truth"]:
+        raise ValueError(
+            f"{d['n_null_truth']} truth rows have a null '{truth_col}' label — "
+            "matched-but-unlabelled rows would be double-counted as truth_only"
+        )
+    return d

@@ -407,8 +407,17 @@ def free_local_checkpoints(df: DataFrame) -> None:
             leaf = leaves.apply(i)
             if leaf.getClass().getName().endswith("LogicalRDD"):
                 leaf.rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception:  # noqa: BLE001 — deliberate best-effort seam
+        # API drift (these are py4j private internals) must be detectable:
+        # without this log a Spark upgrade silently reverts every caller to
+        # the storage-leak behavior this function exists to prevent.
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "free_local_checkpoints: plan walk failed; falling back to "
+            "ContextCleaner-driven release",
+            exc_info=True,
+        )
 
 
 def resolve_duplicate_clusters(

@@ -97,8 +97,11 @@ def quality_pipeline(
     keep ∪ drop) survives, and validation needs no allowlist. The marker
     join broadcasts the blocklist; blocked rows ship an empty string
     through the scrub UDF (their Python cost is ~zero) and dedup still
-    runs on real content, so a blocked duplicate can shadow an unblocked
-    twin — content dedup is domain-blind by design.
+    runs on real content, but the dedup window orders unblocked rows
+    first: a blocked copy can never shadow an unblocked twin, so content
+    whose only other copy sat on a blocked domain still reaches the keep
+    side (the blocked twin then drops as a dedup loser like any other
+    exact duplicate — reference drop_duplicates semantics).
     """
     if html_fallback:
         # rows whose WET text is absent fall back to extracting from the
@@ -136,14 +139,27 @@ def quality_pipeline(
         # not coalesce it under the UDF.
         key = F.sha2("text", 256)
         df = df.repartition(num_partitions, key)
-        w = Window.partitionBy(F.sha2("text", 256)).orderBy("warc_ts", "url")
+        # unblocked rows sort first inside each duplicate group so a
+        # blocked copy never shadows an unblocked twin (see docstring)
+        order = [blocked.cast("int")] if blocked_domains is not None else []
+        w = Window.partitionBy(F.sha2("text", 256)).orderBy(*order, "warc_ts", "url")
         df = (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
     elif dedup:
-        df = dedup_first(df)
+        if blocked_domains is not None:
+            w = Window.partitionBy(F.sha2("text", 256)).orderBy(
+                blocked.cast("int"), "warc_ts", "url"
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            df = dedup_first(df)
     elif num_partitions:
         # hash the url itself: repartitioning on a pre-bucketed pmod value
         # would re-hash num_partitions distinct values into num_partitions
@@ -291,9 +307,15 @@ def conllu_with_failures(
     long-lived session accumulates no cache across repeated calls.
 
     `store` is a SnapshotStore or path for the intermediate (committed
-    base=True, so repeated runs supersede rather than union); default is a
-    driver-local temp dir — pass a shared-storage path on a real cluster.
+    base=True, so repeated runs supersede rather than union). The default
+    is a driver-local temp dir, valid ONLY under a local[...] master
+    (executors share the driver's filesystem there); on any other master
+    the default raises — pass a shared-storage path instead. The default
+    dir is registered for removal at driver exit, so repeated calls in a
+    long-lived local session don't accumulate orphaned parquet.
     """
+    import atexit
+    import shutil
     import tempfile
 
     from puddin_spark.annotate import make_annotate_safe_udf
@@ -307,7 +329,16 @@ def conllu_with_failures(
         F.col("_r.error").alias("_err"),
     )
     if store is None:
-        store = SnapshotStore(tempfile.mkdtemp(prefix="puddin_anno_"))
+        master = sentences.sparkSession.conf.get("spark.master", "")
+        if not master.startswith("local"):
+            raise ValueError(
+                "conllu_with_failures: default temp store is driver-local and "
+                f"unreadable by executors under master={master!r} — pass "
+                "store=<shared-storage path>"
+            )
+        tmp = tempfile.mkdtemp(prefix="puddin_anno_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        store = SnapshotStore(tmp)
     elif not isinstance(store, SnapshotStore):
         store = SnapshotStore(store)
     store.commit(annotated, base=True)

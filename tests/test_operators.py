@@ -482,7 +482,32 @@ def test_keepdrop_confusion_counts_disagreements_and_gaps(spark):
     m = keepdrop_confusion(pred, truth).first().asDict()
     assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (1, 1, 1, 1)
     assert m["n_pred_only"] == 1 and m["n_truth_only"] == 1
+    assert m["n_null_truth"] == 0
     assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+
+
+def test_keepdrop_f1_rejects_violated_preconditions(spark):
+    """Duplicate pred keys (negative derived n_truth_only) and null truth
+    labels fail loudly instead of reporting skewed metrics."""
+    import pytest as _pytest
+
+    from puddin_spark.metrics import keepdrop_f1
+
+    truth = spark.createDataFrame(
+        [("a", True)], schema="url string, keep boolean"
+    )
+    dup_pred = spark.createDataFrame(
+        [("a", True), ("a", True)], schema="url string, keep boolean"
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        keepdrop_f1(dup_pred, truth)
+
+    pred = spark.createDataFrame([("a", True)], "url string, keep boolean")
+    null_truth = spark.createDataFrame(
+        [("a", None)], schema="url string, keep boolean"
+    )
+    with _pytest.raises(ValueError, match="null"):
+        keepdrop_f1(pred, null_truth)
 
 
 def test_html_extract_binary_and_tag_guards(spark):

@@ -367,3 +367,27 @@ def test_blocked_domains_become_verdict_rows(spark):
     # completeness: blocked rows still count as covered
     summary, _ = validate_run(pages, v)
     assert summary["ok"], summary
+
+
+def test_blocked_copy_never_shadows_unblocked_twin(spark):
+    """A blocked-domain copy with the EARLIEST warc_ts must not win the
+    exact-dedup window: the unblocked twin gets the verdict row, so content
+    whose earliest copy sat on a blocked domain is not silently lost."""
+    rows = [
+        # blocked copy is strictly earlier — would win a (warc_ts, url) order
+        ("https://site2.com/dup", "2020-01-01 00:00:00", "shared twin body words here"),
+        ("https://ok.com/dup", "2021-06-01 00:00:00", "shared twin body words here"),
+        ("https://ok.com/solo", "2021-06-02 00:00:00", "unique solo body words here"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, ts, None, t, "en") for u, ts, t in rows],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    blocked = spark.createDataFrame([("site2.com",)], "domain string")
+    for parts in (None, 4):  # both dedup branches
+        v = quality_pipeline(pages, num_partitions=parts, blocked_domains=blocked)
+        got = {r["url"]: r for r in v.collect()}
+        assert "https://ok.com/dup" in got, "unblocked twin lost its verdict row"
+        assert got["https://ok.com/dup"]["excl_type"] != "blocked_domain"
+        # the blocked copy dropped as the dedup loser (no verdict row)
+        assert "https://site2.com/dup" not in got
