@@ -53,7 +53,9 @@ def cmd_run(args) -> int:
             blocked = spark.read.parquet(args.blocklist)
     snap_id, n_new = run_resumable_pipeline(
         spark, pages, store, num_partitions=args.partitions,
-        near_dedup=args.near_dedup, html_fallback=args.html_fallback,
+        near_dedup=args.near_dedup,
+        embedding_near_dedup=args.embedding_near_dedup,
+        html_fallback=args.html_fallback,
         blocked_domains=blocked,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
     )
@@ -202,7 +204,7 @@ def cmd_overview(args) -> int:
 
 def cmd_compact(args) -> int:
     """Store maintenance: compact + gc the verdict store AND its near-dedup
-    sidecars (minhash_index, minhash_bands) — the Iceberg
+    sidecars (minhash_index, minhash_bands, srp_index) — the Iceberg
     rewrite_data_files + expire_snapshots lifecycle. Long-lived incremental
     runs accumulate one snapshot per batch in all three stores; this resets
     read/commit cost to O(1). partition specs are preserved by compact()."""
@@ -211,7 +213,12 @@ def cmd_compact(args) -> int:
 
     spark = get_spark(master=args.master, app_name="puddin_spark.compact")
     out = {}
-    for name in ("verdicts", "verdicts/minhash_index", "verdicts/minhash_bands"):
+    for name in (
+        "verdicts",
+        "verdicts/minhash_index",
+        "verdicts/minhash_bands",
+        "verdicts/srp_index",
+    ):
         base = Path(args.dest) / name
         commits = base / "_commits"
         if not commits.exists() or not any(commits.glob("*.json")):
@@ -269,6 +276,14 @@ def main(argv: list[str] | None = None) -> int:
                 help="fuzzy-dedup each batch against all prior batches via"
                 " the minhash index sidecar; near-dup newcomers get"
                 " excl_type='near_dup'",
+            )
+            sp.add_argument(
+                "--embedding-near-dedup",
+                action="store_true",
+                dest="embedding_near_dedup",
+                help="fuzzy-dedup each batch against all prior batches in"
+                " EMBEDDING space via the SRP index sidecar; cosine>=0.99"
+                " newcomers get excl_type='emb_near_dup'",
             )
             sp.add_argument(
                 "--partition-by",

@@ -228,3 +228,74 @@ def swap_langid_model(model) -> None:
     """Install a different langid model (e.g. real fastText) process-wide."""
     global _LANGID_SINGLETON
     _LANGID_SINGLETON = model
+
+
+# --- document embeddings (stand-in for a sentence-encoder model) ---
+
+EMBEDDING_DIM = 64
+
+
+class DocEmbeddingModel:
+    """Deterministic signed feature-hashing document embedder — the
+    stand-in occupying the sentence-transformer seam (swap_embedding_model
+    installs a real encoder; any object with `encode(texts) -> list of
+    list[float]` fits).
+
+    Each token hashes (md5, engine-independent) to one of `dim` bins with a
+    +/-1 sign; the doc vector is the L2-normalized signed bag-of-words.
+    Signed hashing centers random-doc cosines near 0 (unsigned counts
+    would push all-positive vectors toward cos ~0.6), while a near-copy
+    keeps cosine ~1 — exactly the contrast embedding near-dedup needs.
+    Token hash results are memoized per worker process."""
+
+    def __init__(self, dim: int = EMBEDDING_DIM):
+        self.dim = dim
+        self._cache: dict[str, tuple[int, int]] = {}
+
+    def _slot(self, tok: str) -> tuple[int, int]:
+        hit = self._cache.get(tok)
+        if hit is None:
+            import hashlib
+
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            hit = (h % self.dim, 1 if (h // self.dim) % 2 == 0 else -1)
+            self._cache[tok] = hit
+        return hit
+
+    def encode_one(self, text: str) -> list[float]:
+        vec = [0.0] * self.dim
+        for tok in (text or "").split():
+            b, s = self._slot(tok)
+            vec[b] += s
+        norm = math.sqrt(sum(x * x for x in vec))
+        if norm == 0.0:
+            return vec
+        return [x / norm for x in vec]
+
+    def encode(self, texts) -> list[list[float]]:
+        return [self.encode_one(t) for t in texts]
+
+
+_EMBEDDING_SINGLETON: DocEmbeddingModel | None = None
+
+
+def _get_embedder() -> DocEmbeddingModel:
+    global _EMBEDDING_SINGLETON
+    if _EMBEDDING_SINGLETON is None:
+        _EMBEDDING_SINGLETON = DocEmbeddingModel()
+    return _EMBEDDING_SINGLETON
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def doc_embedding_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    model = _get_embedder()  # once per Python worker process
+    for texts in it:
+        yield pd.Series(model.encode(texts.fillna("").tolist()))
+
+
+def swap_embedding_model(model) -> None:
+    """Install a different document encoder process-wide (driver-local; for
+    executors, pass a factory through the UDF closure as in
+    annotate.make_annotate_safe_udf)."""
+    global _EMBEDDING_SINGLETON
+    _EMBEDDING_SINGLETON = model

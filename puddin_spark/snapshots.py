@@ -253,6 +253,13 @@ class SnapshotStore:
         if not recs:
             return None
         dirs = [str(self.base / r[f"{kind}_dir"]) for r in recs]
+        # an EMPTY partitioned write leaves a snapshot dir with no data
+        # files at all (Spark emits only _SUCCESS — no partition dirs, so
+        # no schema-bearing 0-row part file like the unpartitioned case);
+        # such dirs contribute nothing and would fail schema inference
+        dirs = [d for d in dirs if any(Path(d).rglob("*.parquet"))]
+        if not dirs:
+            return None
         partitioned = any(r.get("partition_by") for r in recs)
         # schema evolution (Iceberg add-column analog): snapshots written
         # before a column existed must still read — old rows surface null.
@@ -348,25 +355,28 @@ def record_failures(
 
 
 def _prune_near_dedup_sidecar(spark, store: SnapshotStore, verdicts: DataFrame) -> None:
-    """Keep the near-dedup index consistent with a verdict flip: entries
+    """Keep the near-dedup indexes consistent with a verdict flip: entries
     for now-excluded docs would otherwise keep dropping future newcomers as
     near-dups of documents no longer in the corpus — both copies lost — and
-    the ingest-time reconciliation gate would re-fire forever. Prunes the
-    signature index to the current kept id set as a base commit; the band
-    table (a derived cache) is left to its row-count gate, which rebuilds
-    it from the pruned index by projection on the next ingest. No-op when
-    the store has no sidecar (near_dedup was never enabled)."""
-    idx_base = store.base / "minhash_index"
-    if not (idx_base / "_commits").exists() or not any(
-        (idx_base / "_commits").glob("*.json")
-    ):
-        return
-    idx_store = SnapshotStore(idx_base)
-    idx = idx_store.read(spark)
-    if idx is None:
-        return
+    the ingest-time reconciliation gate would re-fire forever. Prunes each
+    signature index (minhash AND srp) to the current kept id set as a base
+    commit; the minhash band table (a derived cache) is left to its
+    row-count gate, which rebuilds it from the pruned index by projection
+    on the next ingest. No-op for any sidecar that was never enabled."""
     kept = verdicts.filter("keep").select(F.col("doc_id").alias("id"))
-    idx_store.commit(idx.join(kept, "id", "left_semi"), base=True)
+    for name, part in (("minhash_index", None), ("srp_index", ["bucket_pfx"])):
+        idx_base = store.base / name
+        if not (idx_base / "_commits").exists() or not any(
+            (idx_base / "_commits").glob("*.json")
+        ):
+            continue
+        idx_store = SnapshotStore(idx_base)
+        idx = idx_store.read(spark)
+        if idx is None:
+            continue
+        idx_store.commit(
+            idx.join(kept, "id", "left_semi"), base=True, partition_by=part
+        )
 
 
 def run_resumable_pipeline(
@@ -376,6 +386,7 @@ def run_resumable_pipeline(
     *,
     num_partitions: int = 32,
     near_dedup: bool = False,
+    embedding_near_dedup: bool = False,
     html_fallback: bool = False,
     blocked_domains=None,
     partition_by: list[str] | None = None,
@@ -403,6 +414,20 @@ def run_resumable_pipeline(
     runs once; the band cache rebuilds from the index by projection. Both
     sidecars share the verdict store's compact()/gc() lifecycle (CLI
     `compact` runs all three).
+
+    embedding_near_dedup=True is the EMBEDDING-space analog: each batch's
+    kept docs are encoded (models.doc_embedding_udf — the
+    sentence-transformer seam's deterministic stand-in) and SRP-bucketed;
+    the signature index (id, v, bucket) lives at <base>/srp_index,
+    directory-partitioned by bucket prefix so each batch's committed-side
+    scan prunes to its own bucket-prefix partitions
+    (similarity.incremental_srp_pairs — new-vs-committed and new-vs-new
+    only, the corpus is never re-encoded or re-paired). Newcomers with
+    cosine >= 0.99 of an indexed doc — or keep-first losers within the
+    batch's own clusters — flip to excl_type='emb_near_dup' before the
+    commit. Same reconciliation gate, commit ordering, and compact()/gc()
+    lifecycle as the minhash sidecar; composes with near_dedup=True
+    (minhash flips land first, the embedding pass sees only survivors).
 
     Returns (snapshot_id, n_new_docs); snapshot_id is -1 when there was
     nothing new (no empty commits — rerun after success is a no-op, the
@@ -450,11 +475,16 @@ def run_resumable_pipeline(
         n_new = verdicts.count()
         if n_new == 0:
             return -1, 0
-        idx_store = bands_store = None
+        idx_store = bands_store = srp_store = new_srp_idx = None
         if near_dedup:
             verdicts, new_idx, idx_store, bands_store = _apply_near_dedup(
                 spark, store, verdicts, committed
             )
+        if embedding_near_dedup:
+            verdicts, new_srp_idx, srp_store = _apply_embedding_near_dedup(
+                spark, store, verdicts, committed
+            )
+        if near_dedup or embedding_near_dedup:
             verdicts = verdicts.persist()
             verdicts.count()  # materialize before committing
         lineage = lineage_table(verdicts, num_partitions=num_partitions).withColumn(
@@ -475,14 +505,32 @@ def run_resumable_pipeline(
                 free_local_checkpoints,
             )
 
+            if embedding_near_dedup:
+                # the embedding pass ran after minhash and may have flipped
+                # more docs; the minhash index must hold KEPT docs only or
+                # next batch's reconciliation gate re-fires
+                new_idx = new_idx.join(
+                    verdicts.filter("keep").select(F.col("doc_id").alias("id")),
+                    "id",
+                    "left_semi",
+                )
             idx_store.commit(new_idx)
             bands_store.commit(
                 band_table(new_idx, **_ND_BAND_KW), partition_by=["band_pfx"]
             )
-            # all sidecar readers are committed: release the batch's
-            # signature checkpoint and the drop-set checkpoint blocks
-            free_local_checkpoints(new_idx)
-            free_local_checkpoints(verdicts)
+        if embedding_near_dedup and new_srp_idx is not None:
+            srp_store.commit(new_srp_idx, partition_by=["bucket_pfx"])
+        if near_dedup or embedding_near_dedup:
+            # ALL sidecar readers are committed — only now release the
+            # batch's signature checkpoints and the drop-set checkpoint
+            # blocks (freeing between the two index commits would drop the
+            # embedding drop-set blocks the srp survivors still read: the
+            # minhash index plan reaches them through `verdicts`)
+            from puddin_spark.operators.dedup import free_local_checkpoints
+
+            for frame in (new_idx, new_srp_idx, verdicts):
+                if frame is not None:
+                    free_local_checkpoints(frame)
         return snap_id, n_new
     finally:
         verdicts.unpersist()
@@ -645,3 +693,132 @@ def _apply_near_dedup(spark, store, verdicts, committed):
         drops.select(F.col("doc_id").alias("id")), "id", "left_anti"
     )
     return updated, survivors_idx, idx_store, bands_store
+
+
+# embedding near-dedup sidecar parameters — ONE definition shared by the
+# ingest path and the reconciliation re-encode (bucket equality across
+# batches requires identical planes)
+_SRP_ND_KW = dict(num_planes=8)
+_SRP_ND_MIN_COS = 0.99
+# bucket 0..2^planes-1 -> 16 'pX' directory partitions (letter prefix:
+# a bare hex digit would partition-type-infer as numeric)
+_SRP_PFX_EXPR = "concat('p', lower(hex(bucket div 16)))"
+
+
+def _srp_index_table(kept: DataFrame) -> DataFrame:
+    """(id, v, bucket, bucket_pfx) for a set of kept docs: ONE encoder pass
+    (models.doc_embedding_udf — Arrow-batched, executor-singleton model)
+    then JVM-side SRP bucketing. bucket_pfx is the directory-partition
+    column of the committed layout."""
+    from puddin_spark.models import doc_embedding_udf
+    from puddin_spark.operators.similarity import srp_index
+
+    emb = kept.select(
+        "doc_id", doc_embedding_udf("clean_text").alias("embedding")
+    )
+    return srp_index(emb, "doc_id", "embedding", **_SRP_ND_KW).withColumn(
+        "bucket_pfx", F.expr(_SRP_PFX_EXPR)
+    )
+
+
+def _apply_embedding_near_dedup(spark, store, verdicts, committed):
+    """Flip embedding near-dup newcomers to keep=false /
+    excl_type='emb_near_dup'; return (updated_verdicts, index_of_survivors,
+    srp_store). Mirrors _apply_near_dedup's reconciliation gate, prefix
+    pruning, and commit ordering — see run_resumable_pipeline docstring."""
+    from puddin_spark.operators.dedup import (
+        free_local_checkpoints,
+        resolve_duplicate_clusters,
+    )
+    from puddin_spark.operators.similarity import incremental_srp_pairs
+
+    srp_store = SnapshotStore(store.base / "srp_index")
+    committed_idx = srp_store.read(spark)
+    if committed is not None:
+        # index<->corpus reconciliation (same shape as minhash: stale
+        # entries pruned, crash-lag entries re-encoded from committed
+        # clean_text, landed once as a base commit)
+        kept_committed = committed.filter("keep")
+        n_kept, fp_kept = _id_set_stats(kept_committed, "doc_id")
+        n_idx, fp_idx = (
+            _id_set_stats(committed_idx, "id")
+            if committed_idx is not None
+            else (0, 0)
+        )
+        if (n_idx, fp_idx) != (n_kept, fp_kept):
+            kept_ids = kept_committed.select(F.col("doc_id").alias("id"))
+            pruned = (
+                committed_idx.join(kept_ids, "id", "left_semi")
+                if committed_idx is not None
+                else None
+            )
+            lag = kept_committed.select("doc_id", "clean_text")
+            if pruned is not None:
+                lag = lag.join(
+                    pruned.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+                )
+            lag_idx = _srp_index_table(lag)
+            reconciled = (
+                lag_idx if pruned is None else pruned.unionByName(lag_idx)
+            )
+            srp_store.commit(reconciled, base=True, partition_by=["bucket_pfx"])
+            committed_idx = srp_store.read(spark)
+        if committed_idx is not None and committed_idx.isEmpty():
+            committed_idx = None
+
+    kept = verdicts.filter("keep").select("doc_id", "clean_text")
+    # localCheckpoint: ONE encoding pass serves prefix discovery, the pair
+    # join, and the survivors commit (blocks freed by the caller once the
+    # index commit lands)
+    new_idx = _srp_index_table(kept).localCheckpoint()
+    if committed_idx is not None:
+        # static prefix pruning: the committed index is directory-
+        # partitioned by bucket_pfx, so filtering to the BATCH's own
+        # prefixes (<=16 values) prunes whole partitions from the scan;
+        # incremental_srp_pairs then semi-joins exact bucket keys
+        pfx = [r[0] for r in new_idx.select("bucket_pfx").distinct().collect()]
+        committed_idx = committed_idx.filter(F.col("bucket_pfx").isin(pfx))
+    pairs = incremental_srp_pairs(
+        new_idx, committed_idx, min_cos=_SRP_ND_MIN_COS
+    ).persist()
+    new_ids = kept.select(F.col("doc_id").alias("id"))
+    vs_committed = pairs.filter("committed_side")
+    drops = (
+        vs_committed.join(new_ids, vs_committed.id_a == new_ids.id, "left_semi")
+        .select(F.col("id_a").alias("doc_id"))
+        .unionByName(
+            vs_committed.join(
+                new_ids, vs_committed.id_b == new_ids.id, "left_semi"
+            ).select(F.col("id_b").alias("doc_id"))
+        )
+    )
+    new_new = pairs.filter("not committed_side").select("id_a", "id_b")
+    clusters = None
+    if not new_new.isEmpty():
+        clusters = resolve_duplicate_clusters(new_new)
+        drops = drops.unionByName(
+            clusters.filter("id != root").select(F.col("id").alias("doc_id"))
+        )
+    drops = drops.distinct().localCheckpoint()
+    pairs.unpersist()
+    if clusters is not None:
+        free_local_checkpoints(clusters)
+    drops = drops.withColumn("_ed", F.lit(True))
+    updated = (
+        verdicts.join(drops, "doc_id", "left")
+        .withColumn(
+            "keep", F.when(F.col("_ed"), F.lit(False)).otherwise(F.col("keep"))
+        )
+        .withColumn(
+            "excl_type",
+            F.when(F.col("_ed"), F.lit("emb_near_dup")).otherwise(
+                F.col("excl_type")
+            ),
+        )
+        .drop("_ed")
+        .select(*verdicts.columns)
+    )
+    survivors_idx = new_idx.join(
+        drops.select(F.col("doc_id").alias("id")), "id", "left_anti"
+    )
+    return updated, survivors_idx, srp_store
