@@ -46,6 +46,54 @@ class ConcurrentWriteError(RuntimeError):
     clobbering the winner's commit record."""
 
 
+def _stat_value(v):
+    """JSON-encodable file-stat value. Numeric and string columns only —
+    the loud failure beats silently recording un-comparable stats."""
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    raise TypeError(
+        f"file-skipping stats support numeric/string/bool columns, got "
+        f"{type(v).__name__}; cast (e.g. timestamps to epoch seconds) first"
+    )
+
+
+def _collect_file_stats(data_dir: Path, cols: list[str]) -> dict:
+    """Per-file min/max for `cols` from the just-written parquet footers —
+    the Iceberg manifest column-stats analog. Driver-side footer reads of
+    files this writer just produced (no data pages touched); on a shared
+    filesystem this is the same O(files) metadata pass Iceberg's commit
+    performs. Returns {relpath: {col: [min, max]}} with nulls for files
+    where the footer carries no stats (those files never prune)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in sorted(data_dir.rglob("*.parquet")):
+        rel = str(f.relative_to(data_dir))
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        stats: dict[str, list] = {}
+        for col in cols:
+            i = names.get(col)
+            if i is None:  # e.g. a partition column: lives in the path
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            stats[col] = (
+                [_stat_value(lo), _stat_value(hi)] if ok else [None, None]
+            )
+        out[rel] = stats
+    return out
+
+
 class SnapshotStore:
     def __init__(self, base_dir: str | os.PathLike):
         self.base = Path(base_dir)
@@ -90,13 +138,20 @@ class SnapshotStore:
         *,
         base: bool = False,
         partition_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Atomically append one snapshot (data + optional lineage).
         base=True marks a compaction snapshot that supersedes all earlier
         ones (readers start from the latest base). partition_by writes the
         data directory-partitioned on those columns (Iceberg partition-spec
         analog) so readers filtering on them prune files; compact()
-        preserves the latest commit's spec. Raises ConcurrentWriteError if
+        preserves the latest commit's spec. stats_cols records per-FILE
+        min/max for those columns in the commit record (the Iceberg
+        manifest column-stats analog, read from the just-written parquet
+        footers); read_where() uses them to open only the files whose
+        range can satisfy a predicate — cluster the data on the column
+        first (repartitionByRange + sortWithinPartitions) or the ranges
+        all overlap and nothing prunes. Raises ConcurrentWriteError if
         another writer landed the same snapshot id first — link(2) is the
         O_EXCL of the commit protocol."""
         token = uuid.uuid4().hex
@@ -105,6 +160,9 @@ class SnapshotStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(staging / "data"))
+        file_stats = (
+            _collect_file_stats(staging / "data", stats_cols) if stats_cols else None
+        )
         if lineage is not None:
             lineage.write.mode("overwrite").parquet(str(staging / "lineage"))
 
@@ -131,6 +189,8 @@ class SnapshotStore:
             "lineage_dir": (snap_dir.name + "/lineage") if lineage is not None else None,
             "base": base,
             "partition_by": partition_by or None,
+            "stats_cols": stats_cols or None,
+            "file_stats": file_stats,
         }
         # per-writer tmp record: a shared name would let the loser unlink
         # the winner's tmp mid-protocol
@@ -161,7 +221,10 @@ class SnapshotStore:
         lineage = self.read_lineage(spark)
         recs = self._active_commits()
         part = recs[-1].get("partition_by") if recs else None
-        return self.commit(data, lineage, base=True, partition_by=part)
+        stats = recs[-1].get("stats_cols") if recs else None
+        return self.commit(
+            data, lineage, base=True, partition_by=part, stats_cols=stats
+        )
 
     def rollback(self, spark: SparkSession, to_snapshot: int) -> int:
         """Restore the table to a historical state by committing it as a new
@@ -172,7 +235,10 @@ class SnapshotStore:
         lineage = self.read_lineage(spark, as_of=to_snapshot)
         recs = self._active_commits(to_snapshot)
         part = recs[-1].get("partition_by") if recs else None
-        return self.commit(data, lineage, base=True, partition_by=part)
+        stats = recs[-1].get("stats_cols") if recs else None
+        return self.commit(
+            data, lineage, base=True, partition_by=part, stats_cols=stats
+        )
 
     def gc(self, *, staging_max_age_s: float = 3600.0) -> int:
         """Drop commit records and snapshot directories superseded by the
@@ -290,6 +356,64 @@ class SnapshotStore:
         self, spark: SparkSession, as_of: int | None = None
     ) -> DataFrame | None:
         return self._read_kind(spark, "lineage", as_of)
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        as_of: int | None = None,
+    ) -> DataFrame | None:
+        """Rows with `lo <= col <= hi` (either bound may be None), opening
+        ONLY the files whose recorded [min, max] range can overlap — the
+        manifest-level file skipping Iceberg performs before the scan,
+        driven by the stats recorded at commit(stats_cols=[...]). Results
+        are identical to read().filter(...): snapshots committed without
+        stats for `col` fall back to all their files, a file whose footer
+        had no stats ([None, None]) is never skipped, and an all-null file
+        is safely skippable because a range predicate never matches null.
+        Returns None when nothing is committed (or every file was pruned
+        and no schema source remains)."""
+        frames = []
+        for r in self._active_commits(as_of):
+            d = r.get("data_dir")
+            if not d:
+                continue
+            ddir = self.base / d
+            fs = r.get("file_stats") if col in (r.get("stats_cols") or []) else None
+            if fs is None:
+                files = [str(p) for p in sorted(ddir.rglob("*.parquet"))]
+            else:
+                files = []
+                for rel, stats in sorted(fs.items()):
+                    mn, mx = stats.get(col, [None, None])
+                    if mn is None or mx is None:
+                        # no footer stats — cannot prune. (An all-null
+                        # file records [None, None] too; keeping it is
+                        # correct, merely unpruned, and the row filter
+                        # below still excludes its rows.)
+                        files.append(str(ddir / rel))
+                    elif (lo is None or mx >= lo) and (hi is None or mn <= hi):
+                        files.append(str(ddir / rel))
+            if not files:
+                continue
+            # basePath keeps directory-partition columns visible when the
+            # snapshot is partitioned
+            frames.append(
+                spark.read.option("basePath", str(ddir)).parquet(*files)
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        c = F.col(col)
+        if lo is not None:
+            out = out.filter(c >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(c <= F.lit(hi))
+        return out
 
     # --- resume ---
 
