@@ -18,15 +18,24 @@ Canonicalization spec (frozen; the url_canonicalize gate is its oracle):
 
 Host/domain spec:
   host   = authority of scheme://... minus userinfo@ and :port, lowered
-  domain = last two host labels, or last three when the ending matches a
-           small embedded two-level public-suffix subset (co.uk, com.au,
-           ...). The full public-suffix list is an external artifact this
-           container doesn't ship; the subset is the documented seam.
+  domain = registered domain under the full public-suffix algorithm
+           (publicsuffix.org): the prevailing rule is the exception rule,
+           else the longest matching suffix rule (exact entries of any
+           label count, plus `*.parent` wildcards), and the registered
+           domain is that suffix plus one more label. A host that IS a
+           public suffix (or a bare TLD pair) returns itself — the
+           degenerate case callers treat as "no registrable domain".
+           The embedded PslRules subset covers two- and three-level
+           suffixes plus a wildcard/exception pair; `load_psl(path)`
+           parses a real publicsuffix.org data file into the same
+           structure (the external artifact this container doesn't ship).
 
 Reference scope note: puddin's Pile ingest has no url column (ids are
 synthesized); these operators serve the north-star web table.
 """
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -43,14 +52,71 @@ _CANON_STEPS: tuple[tuple[str, str], ...] = (
 
 _AUTH_PREFIX = r"\A[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
 
-# two-level public suffixes recognized by the embedded subset (seam for a
-# real public-suffix list)
+# two-level public suffixes recognized by the embedded subset (kept as a
+# standalone tuple for the mechanical DuckDB oracle and backward compat)
 TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
+    "com.au", "net.au", "org.au", "edu.au",
     "co.jp", "ne.jp", "or.jp",
     "com.br", "com.cn", "com.mx", "co.in", "co.nz", "co.za",
 )
+
+
+@dataclass(frozen=True)
+class PslRules:
+    """Public-suffix rule sets (publicsuffix.org semantics).
+
+    exact — suffix entries of any label count ("com.au", "act.edu.au");
+    wild  — wildcard PARENTS: "ck" stands for the rule `*.ck` (every
+            single label under .ck is itself a public suffix);
+    exc   — exception entries ("www.ck" for `!www.ck`): the entry itself
+            is the registered domain, overriding any wildcard match.
+    The implicit default rule `*` (every bare TLD is a suffix) is always
+    in force, as in the spec."""
+
+    exact: frozenset[str]
+    wild: frozenset[str]
+    exc: frozenset[str]
+
+    def by_labels(self, which: str) -> dict[int, list[str]]:
+        vals = getattr(self, which)
+        out: dict[int, list[str]] = {}
+        for v in vals:
+            out.setdefault(v.count(".") + 1, []).append(v)
+        return {k: sorted(v) for k, v in sorted(out.items())}
+
+
+# embedded subset: every TWO_LEVEL entry, a few real three-level entries,
+# and the PSL's canonical wildcard/exception pair (*.ck / !www.ck)
+DEFAULT_PSL = PslRules(
+    exact=frozenset(TWO_LEVEL_SUFFIXES)
+    | frozenset({"act.edu.au", "nsw.edu.au", "pref.aichi.jp"}),
+    wild=frozenset({"ck"}),
+    exc=frozenset({"www.ck"}),
+)
+
+
+def load_psl(path: str) -> PslRules:
+    """Parse a publicsuffix.org data file (one rule per line; comments
+    `//`; `*.` wildcards; `!` exceptions; the PRIVATE section included —
+    filter beforehand if you want ICANN-only) into PslRules. The seam for
+    shipping the real ~9k-entry list: url_domain(..., rules=load_psl(p))
+    compiles it into the same JVM expression (isin over literals becomes
+    a codegen hash-set probe, so the full list stays scan-speed)."""
+    exact, wild, exc = set(), set(), set()
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            line = line.split()[0].lower().lstrip(".")
+            if line.startswith("!"):
+                exc.add(line[1:])
+            elif line.startswith("*."):
+                wild.add(line[2:])
+            elif line:
+                exact.add(line)
+    return PslRules(frozenset(exact), frozenset(wild), frozenset(exc))
 
 
 def canonical_url(col: Column | str) -> Column:
@@ -74,19 +140,45 @@ def url_host(col: Column | str) -> Column:
     return F.lower(no_port)
 
 
-def url_domain(host: Column | str) -> Column:
-    """Registered domain from a host (embedded two-level-suffix subset)."""
+def url_domain(host: Column | str, rules: PslRules = DEFAULT_PSL) -> Column:
+    """Registered domain from a host under the public-suffix algorithm
+    (module docstring). Pure codegen projection: each rule set compiles to
+    an isin over literals (a hash-set probe in codegen — the full ~9k-entry
+    real list via load_psl() stays scan-speed; no join, no Python)."""
     h = F.col(host) if isinstance(host, str) else host
     parts = F.split(h, r"\.")
     n = F.size(parts)
-    last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
-    last3 = F.array_join(F.slice(parts, n - 2, 3), ".")
-    is_two_level = last2.isin(*TWO_LEVEL_SUFFIXES)
-    return (
-        F.when(n <= 2, h)
-        .when(is_two_level & (n >= 3), last3)
-        .otherwise(last2)
-    )
+
+    def lastk(k: int) -> Column:
+        return F.array_join(F.slice(parts, n - (k - 1), k), ".")
+
+    # priority: exception > longest matching suffix rule (wildcard *.p has
+    # len(p)+1 labels) > the implicit default rule `*` (bare TLDs)
+    branches: list[tuple[Column, Column]] = []
+    for c, vals in sorted(rules.by_labels("exc").items(), reverse=True):
+        # the exception entry itself is the registered domain
+        branches.append(((n >= c) & lastk(c).isin(*vals), lastk(c)))
+    suffix_levels: dict[int, tuple[list[str], list[str]]] = {}
+    for s, vals in rules.by_labels("exact").items():
+        suffix_levels.setdefault(s, ([], []))[0].extend(vals)
+    for p, vals in rules.by_labels("wild").items():
+        suffix_levels.setdefault(p + 1, ([], []))[1].extend(vals)
+    for s in sorted(suffix_levels, reverse=True):
+        exact, wildparents = suffix_levels[s]
+        cond = F.lit(False)
+        if exact:
+            cond = cond | lastk(s).isin(*exact)
+        if wildparents:
+            cond = cond | lastk(s - 1).isin(*wildparents)
+        branches.append(((n >= s + 1) & cond, lastk(s + 1)))
+        # host IS the (possibly wildcard-derived) suffix: degenerate, no
+        # registrable domain — return the host itself
+        branches.append(((n == s) & cond, h))
+    out = None
+    for cond, val in branches:
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    default = F.when(n <= 2, h).otherwise(F.array_join(F.slice(parts, n - 1, 2), "."))
+    return default if out is None else out.otherwise(default)
 
 
 def filter_by_domain_blocklist(
@@ -127,14 +219,37 @@ def duckdb_host_sql(expr: str) -> str:
     return f"lower({no_port})"
 
 
-def duckdb_domain_sql(host_expr: str) -> str:
-    """DuckDB twin of url_domain over an already-computed host expr."""
-    suffixes = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+def duckdb_domain_sql(host_expr: str, rules: PslRules = DEFAULT_PSL) -> str:
+    """DuckDB twin of url_domain over an already-computed host expr —
+    generated mechanically from the SAME PslRules, branch for branch."""
     parts = f"string_split({host_expr}, '.')"
-    last2 = f"array_to_string(list_slice({parts}, -2, -1), '.')"
-    last3 = f"array_to_string(list_slice({parts}, -3, -1), '.')"
-    return (
-        f"case when len({parts}) <= 2 then {host_expr} "
-        f"when {last2} in ({suffixes}) and len({parts}) >= 3 then {last3} "
-        f"else {last2} end"
-    )
+    n = f"len({parts})"
+
+    def lastk(k: int) -> str:
+        return f"array_to_string(list_slice({parts}, -{k}, -1), '.')"
+
+    def inlist(vals: list[str]) -> str:
+        return ", ".join(f"'{v}'" for v in vals)
+
+    whens: list[str] = []
+    for c, vals in sorted(rules.by_labels("exc").items(), reverse=True):
+        whens.append(
+            f"when {n} >= {c} and {lastk(c)} in ({inlist(vals)}) then {lastk(c)}"
+        )
+    suffix_levels: dict[int, tuple[list[str], list[str]]] = {}
+    for s, vals in rules.by_labels("exact").items():
+        suffix_levels.setdefault(s, ([], []))[0].extend(vals)
+    for p, vals in rules.by_labels("wild").items():
+        suffix_levels.setdefault(p + 1, ([], []))[1].extend(vals)
+    for s in sorted(suffix_levels, reverse=True):
+        exact, wildparents = suffix_levels[s]
+        conds = []
+        if exact:
+            conds.append(f"{lastk(s)} in ({inlist(exact)})")
+        if wildparents:
+            conds.append(f"{lastk(s - 1)} in ({inlist(wildparents)})")
+        cond = " or ".join(conds)
+        whens.append(f"when {n} >= {s + 1} and ({cond}) then {lastk(s + 1)}")
+        whens.append(f"when {n} = {s} and ({cond}) then {host_expr}")
+    whens.append(f"when {n} <= 2 then {host_expr}")
+    return f"case {' '.join(whens)} else {lastk(2)} end"

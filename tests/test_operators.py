@@ -591,6 +591,81 @@ def test_url_canonicalize_edges(spark):
     assert got[6][0] == "http://ex.com/a"
 
 
+def test_url_domain_full_psl_semantics(spark, tmp_path):
+    """publicsuffix.org algorithm on the embedded subset: longest-match
+    multi-level suffixes, `*.parent` wildcards, `!` exceptions, degenerate
+    suffix-only hosts — Spark and the mechanical DuckDB twin agree on
+    every case."""
+    import duckdb
+
+    from puddin_spark.operators.urls import (
+        duckdb_domain_sql,
+        load_psl,
+        url_domain,
+    )
+
+    cases = {
+        "a.b.example.co.uk": "example.co.uk",   # 2-level suffix
+        "deep.x.act.edu.au": "x.act.edu.au",    # 3-level beats edu.au
+        "me.edu.au": "me.edu.au",               # 2-level when 3-level misses
+        "bar.foo.ck": "bar.foo.ck",             # wildcard *.ck
+        "foo.ck": "foo.ck",                     # host IS a wildcard suffix
+        "sub.www.ck": "www.ck",                 # exception !www.ck
+        "www.ck": "www.ck",
+        "co.uk": "co.uk",                       # degenerate: suffix itself
+        "a.b.c.d.example.org": "example.org",   # implicit default rule
+        "plain": "plain",
+        "": "",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = {r.h: r.d for r in df.select("h", url_domain("h").alias("d")).collect()}
+    assert got == cases
+    con = duckdb.connect()
+    con.execute("create table hosts(h varchar)")
+    con.executemany("insert into hosts values (?)", [(h,) for h in cases])
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"select h, {duckdb_domain_sql('h')} as d from hosts"
+        ).fetchall()
+    }
+    assert duck == cases
+
+    # load-from-file seam: a real-format PSL file round-trips and both
+    # engines compile the loaded rules identically
+    psl = tmp_path / "psl.dat"
+    psl.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "uk\nco.uk\n\n"
+        "jp\n*.kobe.jp\n!city.kobe.jp\n"
+        "us\nk12.ma.us\n"
+    )
+    rules = load_psl(str(psl))
+    assert "co.uk" in rules.exact and "kobe.jp" in rules.wild
+    assert "city.kobe.jp" in rules.exc
+    fcases = {
+        "x.y.kobe.jp": "x.y.kobe.jp",       # *.kobe.jp: y.kobe.jp is a suffix
+        "a.city.kobe.jp": "city.kobe.jp",   # exception beats the wildcard
+        "s.k12.ma.us": "s.k12.ma.us",       # 3-level exact
+        "b.example.co.uk": "example.co.uk",
+    }
+    fdf = spark.createDataFrame([(h,) for h in fcases], "h string")
+    fgot = {
+        r.h: r.d
+        for r in fdf.select("h", url_domain("h", rules=rules).alias("d")).collect()
+    }
+    assert fgot == fcases
+    con.execute("create table fhosts(h varchar)")
+    con.executemany("insert into fhosts values (?)", [(h,) for h in fcases])
+    fduck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"select h, {duckdb_domain_sql('h', rules=rules)} as d from fhosts"
+        ).fetchall()
+    }
+    assert fduck == fcases
+
+
 def test_domain_blocklist_covers_subdomains_and_broadcasts(spark):
     """A blocked registered domain removes every subdomain via the equi
     anti-join, and the plan must broadcast the blocklist side."""
