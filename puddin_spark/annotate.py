@@ -18,13 +18,22 @@ deterministic stand-in:
   annotation stays relational until the conllu sink renders lines.
 
 UPOS inventory used: PUNCT NUM DET PRON ADP CCONJ AUX ADV VERB ADJ NOUN.
-Head scheme: root = first VERB, else first AUX, else first non-PUNCT token,
-else token 1; DET/ADJ/NUM/ADP attach to the NEXT NOUN (the UD det/amod/
-nummod/case shape, falling back to the root when no noun follows); every
-other non-root token attaches to the root. Deprels come from UPOS (det/
-case/cc/aux/advmod/amod/nsubj/nummod/punct/obl/conj). Deliberately simple —
-the point is a real, testable 10-column shape with a working swap seam, not
-parser accuracy.
+Head scheme: root = first VERB; else, when an AUX is followed by a content
+predicate (NOUN/ADJ/PRON/NUM), the PREDICATE is the root and that AUX
+attaches to it as `cop` (the UD copula analysis: in "she is happy" the
+root is "happy", not "is"); else the first AUX; else the first non-PUNCT
+token; else token 1. DET/ADJ/NUM/ADP attach to the NEXT NOUN (the UD det/
+amod/nummod/case shape, falling back to the root when no noun follows).
+Coordination: a CCONJ attaches FORWARD to the next content token (UD's
+cc-to-following-conjunct), and a NOUN immediately after a CCONJ attaches
+BACK to the previous NOUN as `conj` (first-conjunct-heads shape for
+"cats and dogs"). Every other non-root token attaches to the root.
+Deprels come from UPOS (det/case/cc/aux/cop/advmod/amod/nsubj/nummod/
+punct/obl/conj). Deliberately simple — the point is a real, testable
+10-column shape with a working swap seam, not parser accuracy. All heads
+are acyclic by construction: nominal attachers are never NOUN, conj-NOUNs
+attach strictly backward, CCONJ is never anyone's head, and the copular
+AUX attaches to the root.
 """
 from __future__ import annotations
 
@@ -98,40 +107,78 @@ class RuleAnnotator:
             return low[:-1]
         return low
 
+    _CONTENT = ("NOUN", "ADJ", "PRON", "NUM", "VERB")
+    _PREDICATE = ("NOUN", "ADJ", "PRON", "NUM")
+
     def annotate(self, tokens: list[str]) -> list[tuple]:
         tagged = [(form, self.upos(form)) for form in tokens]
         n = len(tagged)
-        root_ix = 0
-        for want in ("VERB", "AUX"):
-            root_ix = next((i + 1 for i, (_, u) in enumerate(tagged) if u == want), 0)
-            if root_ix:
-                break
-        if not root_ix:
+        # root: first VERB; else copular predicate (first NOUN/ADJ/PRON/NUM
+        # strictly after the first AUX — that AUX becomes `cop`); else the
+        # first AUX; else first non-PUNCT; else 1 (module docstring)
+        verb_ix = next((i + 1 for i, (_, u) in enumerate(tagged) if u == "VERB"), 0)
+        aux_ix = next((i + 1 for i, (_, u) in enumerate(tagged) if u == "AUX"), 0)
+        cop_ix = 0
+        if verb_ix:
+            root_ix = verb_ix
+        elif aux_ix:
+            pred_ix = next(
+                (
+                    i + 1
+                    for i, (_, u) in enumerate(tagged)
+                    if i + 1 > aux_ix and u in self._PREDICATE
+                ),
+                0,
+            )
+            root_ix = pred_ix or aux_ix
+            cop_ix = aux_ix if pred_ix else 0
+        else:
             root_ix = next(
                 (i + 1 for i, (_, u) in enumerate(tagged) if u != "PUNCT"), 1
             )
         # nominal attachment: next_noun[ix] = the first NOUN strictly after
         # ix (0 if none) — DET/ADJ/NUM attach to the noun they modify and
-        # ADP to the noun it case-marks (the UD det/amod/nummod/case shape);
-        # everything else attaches to the root. Acyclic by construction:
-        # nominal attachers are never NOUN, and NOUNs attach to the root.
+        # ADP to the noun it case-marks. Coordination: next_content[ix]
+        # gives a CCONJ its following conjunct; prev_noun[ix] (last NOUN
+        # strictly before ix) gives a NOUN-right-after-a-CCONJ its first
+        # conjunct. Everything else attaches to the root. Acyclicity: see
+        # the module docstring.
         next_noun = [0] * (n + 1)
-        nn = 0
+        next_content = [0] * (n + 1)
+        nn = nc = 0
         for i in range(n, 0, -1):
             next_noun[i] = nn
+            next_content[i] = nc
             if tagged[i - 1][1] == "NOUN":
                 nn = i
+            if tagged[i - 1][1] in self._CONTENT:
+                nc = i
+        prev_noun = [0] * (n + 1)
+        pn = 0
+        for i in range(1, n + 1):
+            prev_noun[i] = pn
+            if tagged[i - 1][1] == "NOUN":
+                pn = i
         out = []
         for i, (form, upos) in enumerate(tagged):
             ix = i + 1
             if ix == root_ix:
                 head, deprel = 0, "root"
+            elif ix == cop_ix:
+                head, deprel = root_ix, "cop"
+            elif upos == "CCONJ":
+                head, deprel = next_content[ix] or root_ix, "cc"
+            elif (
+                upos == "NOUN"
+                and ix >= 2
+                and tagged[i - 1][1] == "CCONJ"
+                and prev_noun[ix]
+            ):
+                head, deprel = prev_noun[ix], "conj"
+            elif upos in ("DET", "ADJ", "NUM", "ADP") and next_noun[ix]:
+                head, deprel = next_noun[ix], DEPREL_BY_UPOS[upos]
             else:
-                if upos in ("DET", "ADJ", "NUM", "ADP") and next_noun[ix]:
-                    head = next_noun[ix]
-                else:
-                    head = root_ix
-                deprel = DEPREL_BY_UPOS[upos]
+                head, deprel = root_ix, DEPREL_BY_UPOS[upos]
             out.append((ix, form, self.lemma(form, upos), upos, head, deprel))
         return out
 

@@ -1649,16 +1649,29 @@ select doc_id, rep_ratio, rep_ratio > 0.2 as repetitive from m
 
 
 
+# the documents corpus is closed-class-free word soup (TESTDATA.md), so the
+# copula and coordination tiers would never fire on it; this deterministic
+# augmentation (same pattern as AUG_SUFFIX_CASE elsewhere) injects both —
+# a pure copular sentence for doc_id%25=7 and a trailing "and trees"
+# coordination for doc_id%10=3 — identically in Spark and the oracle
+_AUG_ANNO_SQL = (
+    "case when doc_id % 25 = 7 then 'it is blue'"
+    " when doc_id % 10 = 3 then concat(trim(text), ' and trees')"
+    " else trim(text) end"
+)
+
+
 def q_conllu_annotated(spark, sf_dir):
     """The UD-annotation stage (U4/U6 closure): pluggable annotator fills
-    LEMMA/UPOS/HEAD/DEPREL relationally (annotate.py; the Stanza seam). The
+    LEMMA/UPOS/HEAD/DEPREL relationally (annotate.py; the Stanza seam,
+    incl. the copula + coordination head tiers via _AUG_ANNO_SQL). The
     gate tokenizes by whitespace so the DuckDB oracle replays the identical
     rule cascade token-for-token."""
     from puddin_spark.annotate import annotate_sentences
 
     d = read_table(spark, sf_dir, "documents")
     sents = d.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+        "doc_id", F.split(F.expr(_AUG_ANNO_SQL), r"\s+").alias("tokens")
     )
     return annotate_sentences(sents, "tokens", keys=["doc_id"])
 
@@ -1677,8 +1690,8 @@ def _oracle_annotate_body() -> str:
 toks as (
   select doc_id, u.ix as tok_ix, u.form
   from documents,
-       (select unnest(string_split_regex(trim(text), '\\s+')) as form,
-               generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) as ix) u),
+       (select unnest(string_split_regex({_AUG_ANNO_SQL}, '\\s+')) as form,
+               generate_subscripts(string_split_regex({_AUG_ANNO_SQL}, '\\s+'), 1) as ix) u),
 tagged as (
   select doc_id, tok_ix, form,
     case
@@ -1705,23 +1718,51 @@ lemmed as (
          and lower(form) not like '%ss' then substr(lower(form), 1, length(form) - 1)
     else lower(form) end as lemma
   from tagged),
-rooted as (
-  select *, cast(coalesce(
-      min(case when upos = 'VERB' then tok_ix end) over (partition by doc_id),
-      min(case when upos = 'AUX' then tok_ix end) over (partition by doc_id),
-      min(case when upos <> 'PUNCT' then tok_ix end) over (partition by doc_id),
-      1) as int) as root_ix,
+pre as (
+  select *,
+    min(case when upos = 'VERB' then tok_ix end) over (partition by doc_id) as verb_ix,
+    min(case when upos = 'AUX' then tok_ix end) over (partition by doc_id) as aux_ix,
+    min(case when upos <> 'PUNCT' then tok_ix end) over (partition by doc_id) as nonpunct_ix,
     min(case when upos = 'NOUN' then tok_ix end) over (
       partition by doc_id order by tok_ix
-      rows between 1 following and unbounded following) as next_noun
+      rows between 1 following and unbounded following) as next_noun,
+    min(case when upos in ('NOUN', 'ADJ', 'PRON', 'NUM', 'VERB') then tok_ix end) over (
+      partition by doc_id order by tok_ix
+      rows between 1 following and unbounded following) as next_content,
+    max(case when upos = 'NOUN' then tok_ix end) over (
+      partition by doc_id order by tok_ix
+      rows between unbounded preceding and 1 preceding) as prev_noun,
+    lag(upos) over (partition by doc_id order by tok_ix) as prev_upos
   from lemmed),
+rooted as (
+  select *,
+    cast(coalesce(
+      verb_ix,
+      case when aux_ix is not null then coalesce(pred_ix_raw, aux_ix) end,
+      nonpunct_ix, 1) as int) as root_ix,
+    -- the copular AUX: no VERB, an AUX, and a content predicate after it
+    cast(case when verb_ix is null and pred_ix_raw is not null
+              then aux_ix end as int) as cop_ix
+  from (
+    select *,
+      min(case when upos in ('NOUN', 'ADJ', 'PRON', 'NUM')
+               and tok_ix > aux_ix then tok_ix end) over (
+        partition by doc_id) as pred_ix_raw
+    from pre)),
 anno as (
   select doc_id, cast(tok_ix as int) as tok_ix, form, lemma, upos,
     cast(case when tok_ix = root_ix then 0
+              when tok_ix = cop_ix then root_ix
+              when upos = 'CCONJ' then coalesce(next_content, root_ix)
+              when upos = 'NOUN' and prev_upos = 'CCONJ'
+                   and prev_noun is not null then prev_noun
               when upos in ('DET', 'ADJ', 'NUM', 'ADP')
                    and next_noun is not null then next_noun
               else root_ix end as int) as head,
     case when tok_ix = root_ix then 'root'
+         when tok_ix = cop_ix then 'cop'
+         when upos = 'NOUN' and prev_upos = 'CCONJ'
+              and prev_noun is not null then 'conj'
          else case upos when 'PUNCT' then 'punct' when 'DET' then 'det'
                         when 'ADP' then 'case' when 'CCONJ' then 'cc'
                         when 'AUX' then 'aux' when 'ADV' then 'advmod'
@@ -1748,7 +1789,7 @@ def q_lemma_stats_rollup(spark, sf_dir):
 
     d = read_table(spark, sf_dir, "documents")
     sents = d.select(
-        "lang", F.split(F.trim("text"), r"\s+").alias("tokens")
+        "lang", F.split(F.expr(_AUG_ANNO_SQL), r"\s+").alias("tokens")
     )
     toks = annotate_sentences(sents, "tokens", keys=["lang"]).filter(
         "deprel != 'punct'"

@@ -47,8 +47,14 @@ def test_head_scheme_first_verb_root():
 
 def test_root_fallbacks():
     a = RuleAnnotator()
-    # no verb -> first AUX
+    # no verb, AUX + content predicate -> UD copula: predicate is the
+    # root, the AUX attaches to it as `cop`
     rows = a.annotate(["it", "is", "blue"])
+    assert rows[2][4:] == (0, "root")
+    assert rows[1][4:] == (3, "cop")
+    assert rows[0][4:] == (3, "nsubj")
+    # no verb, AUX with nothing predicable after it -> the AUX roots
+    rows = a.annotate(["it", "is", "."])
     assert rows[1][4:] == (0, "root")
     # no verb/aux -> first non-punct
     rows = a.annotate([".", "dog"])
@@ -56,6 +62,24 @@ def test_root_fallbacks():
     # all punct -> token 1
     rows = a.annotate(["!", "?"])
     assert rows[0][4:] == (0, "root")
+
+
+def test_coordination_heads():
+    a = RuleAnnotator()
+    # "cats and dogs ..." — cc attaches FORWARD to the following conjunct,
+    # the second conjunct attaches BACK to the first as conj
+    rows = a.annotate(["cats", "and", "dogs", "walked"])
+    by_ix = {r[0]: r for r in rows}
+    assert by_ix[4][5] == "root"
+    assert by_ix[2][4:] == (3, "cc")       # and -> dogs
+    assert by_ix[3][4:] == (1, "conj")     # dogs -> cats
+    assert by_ix[1][4:] == (4, "obl")      # cats -> root
+    # a CCONJ with no following content token falls back to the root
+    rows = a.annotate(["dogs", "walked", "and"])
+    assert rows[2][4:] == (2, "cc")
+    # noun-after-cconj with NO earlier noun keeps the default attachment
+    rows = a.annotate(["and", "dogs", "walked"])
+    assert rows[1][4:] == (3, "obl")
 
 
 def test_swap_seam(spark):
