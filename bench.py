@@ -206,6 +206,31 @@ def main() -> None:
     )
     keepdrop = {"f1": round(m["f1"], 4), "compared": int(m["tp"] + m["tn"] + m["fp"] + m["fn"])}
 
+    # --- ANN recall tracking: ivf_topk vs the exact brute-force baseline
+    # on the same embeddings table the gates use, with an nprobe sweep —
+    # quantizer/probe-path regressions become visible per round instead of
+    # hiding behind a still-green correctness gate ---
+    from puddin_spark.operators import similarity as _sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.filter("vec_id < 50")
+    truth_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in _sim.brute_force_topk(emb, qv, k=10).collect()
+    }
+    ann_recall = {"k": 10, "n_centroids": 8, "n_queries": 50}
+    cents = _sim.train_centroids(emb, n_centroids=8, iters=2)
+    for nprobe in (1, 2, 4):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in _sim.ivf_topk(
+                emb, qv, k=10, nprobe=nprobe, centroids=cents
+            ).collect()
+        }
+        ann_recall[f"recall_at_10_nprobe{nprobe}"] = round(
+            len(got & truth_pairs) / len(truth_pairs), 4
+        )
+
     # corpus sizes + the skew corpus while the main session is still up —
     # after spark.stop() this process creates NO further contexts (see
     # _run_leg_subprocess for why)
@@ -235,18 +260,40 @@ def main() -> None:
     # single leg corrupts the recorded ratio even though three clean
     # measurements exist. Absolute walls still report the pooled best.
     round_eff: list[float] = []
-    for _ in range(3):
+
+    def _scaling_round() -> None:
+        nonlocal n_docs
         rw: dict[int, float] = {}
         for c in (2, 8):
             n_docs, w = _run_leg_subprocess(c, pages_path, repeats=2)
             rw[c] = w
             walls[c] = min(walls[c], w)
         round_eff.append((rw[2] / rw[8]) / 4)
+
+    for _ in range(3):
+        _scaling_round()
+    # spike gate (do NOT record a load window as the machine): the ratio
+    # is per-round, so a clean ratio needs the round's two legs on the
+    # same side of any external-load window. Keep sampling until the two
+    # best rounds agree within 10% (ample clean evidence) or the cap hits;
+    # the artifact then says whether a spike was still suspected.
+    def _top2_spread() -> float:
+        top = sorted(round_eff, reverse=True)[:2]
+        return top[0] / top[1] if len(top) > 1 and top[1] > 0 else 1.0
+
+    while _top2_spread() > 1.10 and len(round_eff) < 6:
+        _scaling_round()
+    spike_suspected = _top2_spread() > 1.10
     if CPUS > 8:
-        # two spaced samples for the wide leg too — a single external-load
-        # window otherwise owns the recorded local[CPUS] number
-        for _ in range(2):
+        # spaced samples for the wide leg too — a single external-load
+        # window must not own the recorded local[CPUS] number. Same gate:
+        # sample until the two best walls agree within 10% (or cap at 4).
+        wide: list[float] = []
+        while len(wide) < 2 or (
+            len(wide) < 4 and sorted(wide)[1] / sorted(wide)[0] > 1.10
+        ):
             n_docs, w = _run_leg_subprocess(CPUS, pages_path, repeats=2)
+            wide.append(w)
             walls[CPUS] = min(walls[CPUS], w)
     shutil.rmtree(pages_path, ignore_errors=True)
     thr = {c: n_docs / w for c, w in walls.items()}
@@ -258,6 +305,8 @@ def main() -> None:
         "scaling_efficiency_N2_to_4N8": round(eff_2_8, 3),
         # per-round ratios, full transparency on load variance
         "scaling_efficiency_rounds": [round(e, 3) for e in round_eff],
+        # spike gate verdict: False = the two best rounds agree within 10%
+        "load_spike_suspected": spike_suspected,
     }
     if CPUS > 8:
         pipeline["scaling_efficiency_8_to_%d" % CPUS] = round(
@@ -297,6 +346,7 @@ def main() -> None:
                 "queries": results,
                 "sf": SF,
                 "keepdrop_f1_vs_reference": keepdrop,
+                "ann_ivf_recall": ann_recall,
                 "pipeline": pipeline,
             }
         )
