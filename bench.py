@@ -68,20 +68,48 @@ def corpus_mb(spark, pages_path: str) -> float:
     return total / 1e6
 
 
-def run_pipeline_at(cores: int, pages_path: str, repeats: int = 3) -> tuple[int, float]:
-    """Read pages parquet -> full pipeline -> sink, at local[cores].
-    Returns (n_docs_in, best_wall_sec of `repeats`). Fresh PROCESS per
-    level (see _run_leg_subprocess); partitions = 4x cores (multiple task
-    waves so stragglers don't bound the wall); an untimed warmup job spawns
-    the Python UDF workers first — we measure steady-state throughput (the
-    north rule's scaling criterion), not JVM/worker cold start."""
+def run_pipeline_at(
+    cores: int,
+    pages_path: str,
+    repeats: int = 3,
+    cluster_workers: int = 0,
+    pyfiles: str | None = None,
+) -> tuple[int, float]:
+    """Read pages parquet -> full pipeline -> sink, at local[cores] — or,
+    with cluster_workers=W, at local-cluster[W,2,2048]: REAL separate
+    executor JVMs (the north rule's multi-executor shape; the package zip
+    ships to executor Python workers via addPyFile, shuffles cross process
+    boundaries). Returns (n_docs_in, best_wall_sec of `repeats`). Fresh
+    PROCESS per level (see _run_leg_subprocess); partitions = 4x cores
+    (multiple task waves so stragglers don't bound the wall); an untimed
+    warmup job spawns the executor JVMs + Python UDF workers first — we
+    measure steady-state throughput (the north rule's scaling criterion),
+    not JVM/worker cold start."""
     from puddin_spark.pipeline import quality_pipeline
     from puddin_spark.session import get_spark
 
-    parts = cores * 4
-    spark = get_spark(
-        master=f"local[{cores}]", app_name=f"bench_c{cores}", shuffle_partitions=parts
-    )
+    if cluster_workers:
+        os.environ.setdefault(
+            "SPARK_HOME",
+            os.path.dirname(__import__("pyspark").__file__),
+        )
+        cores = cluster_workers * 2
+        parts = cores * 4
+        spark = get_spark(
+            master=f"local-cluster[{cluster_workers},2,2048]",
+            app_name=f"bench_w{cluster_workers}",
+            shuffle_partitions=parts,
+            extra_conf={"spark.executor.memory": "1500m"},
+        )
+        if pyfiles:
+            spark.sparkContext.addPyFile(pyfiles)
+    else:
+        parts = cores * 4
+        spark = get_spark(
+            master=f"local[{cores}]",
+            app_name=f"bench_c{cores}",
+            shuffle_partitions=parts,
+        )
     try:
         pages = spark.read.parquet(pages_path)
         n = pages.count()
@@ -138,9 +166,37 @@ def _run_leg_subprocess(cores: int, pages_path: str, repeats: int = 3) -> tuple[
     return d["n"], d["best"]
 
 
+def _run_cluster_leg_subprocess(
+    workers: int, pages_path: str, pyfiles: str, repeats: int = 2
+) -> tuple[int, float]:
+    """One multi-executor leg (local-cluster[workers,2,2048]) in a fresh
+    process — same isolation rationale as _run_leg_subprocess."""
+    import subprocess
+
+    err_path = os.environ.get("SPARK_GRAFT_BENCH_STDERR", "/tmp/bench_stderr.log")
+    with open(err_path, "a") as err:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cluster-leg",
+             str(workers), pages_path, str(repeats), pyfiles],
+            stdout=subprocess.PIPE, stderr=err, text=True, check=True,
+        )
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    return d["n"], d["best"]
+
+
 def _leg_main(argv: list[str]) -> None:
     cores, path, repeats = int(argv[0]), argv[1], int(argv[2])
     n, best = run_pipeline_at(cores, path, repeats)
+    print(json.dumps({"n": n, "best": best}))
+
+
+def _cluster_leg_main(argv: list[str]) -> None:
+    workers, path, repeats, pyfiles = (
+        int(argv[0]), argv[1], int(argv[2]), argv[3],
+    )
+    n, best = run_pipeline_at(
+        0, path, repeats, cluster_workers=workers, pyfiles=pyfiles
+    )
     print(json.dumps({"n": n, "best": best}))
 
 
@@ -295,6 +351,44 @@ def main() -> None:
             n_docs, w = _run_leg_subprocess(CPUS, pages_path, repeats=2)
             wide.append(w)
             walls[CPUS] = min(walls[CPUS], w)
+
+    # --- the north rule's cluster shape, measured for REAL: the same job
+    # via separate executor JVMs (local-cluster, package shipped to
+    # executor Python workers over the files channel) at N=1 and 4N=4
+    # executors of 2 cores each. Interleaved rounds + the same per-round
+    # ratio discipline as the thread pair ---
+    import zipfile
+
+    zip_dir = tempfile.mkdtemp(prefix="bench_zip_")
+    pyzip = os.path.join(zip_dir, "puddin_spark.zip")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(pyzip, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _, files in os.walk(os.path.join(repo, "puddin_spark")):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, repo))
+    cl_walls = {1: float("inf"), 4: float("inf")}
+    cl_rounds: list[float] = []
+    for _ in range(2):
+        rw = {}
+        for wk in (1, 4):
+            n_docs, w = _run_cluster_leg_subprocess(wk, pages_path, pyzip)
+            rw[wk] = w
+            cl_walls[wk] = min(cl_walls[wk], w)
+        cl_rounds.append((rw[1] / rw[4]) / 4)
+    while (
+        len(cl_rounds) < 4
+        and sorted(cl_rounds, reverse=True)[:2][0]
+        > 1.10 * sorted(cl_rounds, reverse=True)[:2][-1]
+    ):
+        rw = {}
+        for wk in (1, 4):
+            n_docs, w = _run_cluster_leg_subprocess(wk, pages_path, pyzip)
+            rw[wk] = w
+            cl_walls[wk] = min(cl_walls[wk], w)
+        cl_rounds.append((rw[1] / rw[4]) / 4)
+    shutil.rmtree(zip_dir, ignore_errors=True)
     shutil.rmtree(pages_path, ignore_errors=True)
     thr = {c: n_docs / w for c, w in walls.items()}
     eff_2_8 = max(round_eff)
@@ -307,6 +401,13 @@ def main() -> None:
         "scaling_efficiency_rounds": [round(e, 3) for e in round_eff],
         # spike gate verdict: False = the two best rounds agree within 10%
         "load_spike_suspected": spike_suspected,
+        # REAL multi-executor pair (local-cluster; separate executor JVMs,
+        # 2 cores each, zip shipped via the files channel): the north
+        # rule's N-vs-4N-executor criterion measured on actual executors
+        "cluster_docs_per_sec_1exec": round(n_docs / cl_walls[1], 1),
+        "cluster_docs_per_sec_4exec": round(n_docs / cl_walls[4], 1),
+        "cluster_scaling_efficiency_1exec_to_4exec": round(max(cl_rounds), 3),
+        "cluster_scaling_efficiency_rounds": [round(e, 3) for e in cl_rounds],
     }
     if CPUS > 8:
         pipeline["scaling_efficiency_8_to_%d" % CPUS] = round(
@@ -357,5 +458,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--leg":
         # stderr already routed by the parent (stderr=sidecar handle)
         _leg_main(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cluster-leg":
+        _cluster_leg_main(sys.argv[2:])
     else:
         main()

@@ -102,3 +102,52 @@ def test_spark_submit_py_files_run_and_resume(tmp_path):
         tmp_path, zpath, ["validate", "-i", str(pages), "-d", str(dest)]
     )
     assert out3["ok"] is True, out3
+
+
+def test_spark_submit_local_cluster_real_executors(tmp_path):
+    """The north rule's cluster shape with REAL separate executor JVMs:
+    `spark-submit --master local-cluster[2,2,1024] --py-files ...` from a
+    scratch cwd. Unlike local[N] (threads in the driver JVM), local-cluster
+    spawns worker processes — the shipped zip must reach executor Python
+    workers over the files channel, shuffles cross process boundaries, and
+    closure serialization is exercised for real. The committed outcome must
+    match the in-thread run bit-for-bit (same keep/drop counts)."""
+    zpath = _build_zip(tmp_path)
+    pages = _write_pages(tmp_path)
+    shutil.copy(REPO / "puddin_spark" / "__main__.py", tmp_path / "job.py")
+
+    def submit_master(master: str, dest: Path) -> dict:
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["PYSPARK_PYTHON"] = sys.executable
+        env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+        env.setdefault(
+            "SPARK_HOME", str(Path(__import__("pyspark").__file__).parent)
+        )
+        proc = subprocess.run(
+            [
+                "spark-submit",
+                "--master", master,
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.executor.memory=900m",
+                "--py-files", str(zpath),
+                str(tmp_path / "job.py"),
+                "run", "-i", str(pages), "-d", str(dest), "--partitions", "8",
+            ],
+            cwd=tmp_path,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        assert lines, f"no JSON line in stdout: {proc.stdout[-2000:]}"
+        return json.loads(lines[-1])
+
+    cluster = submit_master("local-cluster[2,2,1024]", tmp_path / "out_lc")
+    threads = submit_master("local[4]", tmp_path / "out_th")
+    assert cluster["new_docs"] > 0
+    assert (
+        cluster["total_docs"],
+        cluster["total_keep"],
+    ) == (threads["total_docs"], threads["total_keep"])
