@@ -55,6 +55,7 @@ def cmd_run(args) -> int:
         spark, pages, store, num_partitions=args.partitions,
         near_dedup=args.near_dedup,
         embedding_near_dedup=args.embedding_near_dedup,
+        srp_planes=args.srp_planes,
         html_fallback=args.html_fallback,
         blocked_domains=blocked,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
@@ -284,6 +285,15 @@ def main(argv: list[str] | None = None) -> int:
                 help="fuzzy-dedup each batch against all prior batches in"
                 " EMBEDDING space via the SRP index sidecar; cosine>=0.99"
                 " newcomers get excl_type='emb_near_dup'",
+            )
+            sp.add_argument(
+                "--srp-planes",
+                type=int,
+                default=None,
+                dest="srp_planes",
+                help="SRP plane count for --embedding-near-dedup (first"
+                " run sets it, persisted in the sidecar; 2^planes buckets"
+                " — raise at larger corpus scales)",
             )
             sp.add_argument(
                 "--partition-by",

@@ -511,6 +511,7 @@ def run_resumable_pipeline(
     num_partitions: int = 32,
     near_dedup: bool = False,
     embedding_near_dedup: bool = False,
+    srp_planes: int | None = None,
     html_fallback: bool = False,
     blocked_domains=None,
     partition_by: list[str] | None = None,
@@ -552,6 +553,12 @@ def run_resumable_pipeline(
     commit. Same reconciliation gate, commit ordering, and compact()/gc()
     lifecycle as the minhash sidecar; composes with near_dedup=True
     (minhash flips land first, the embedding pass sees only survivors).
+    srp_planes sets the SRP plane count on FIRST use (default 8; raise it
+    at larger corpus scales so 2^planes buckets keep per-bucket
+    populations bounded); the value persists in the sidecar's _meta.json
+    and later runs must match it or omit it — bucket keys from different
+    plane counts are incomparable, so a mismatch raises instead of
+    silently generating no candidates.
 
     Returns (snapshot_id, n_new_docs); snapshot_id is -1 when there was
     nothing new (no empty commits — rerun after success is a no-op, the
@@ -559,6 +566,11 @@ def run_resumable_pipeline(
     """
     from puddin_spark.pipeline import lineage_table, quality_pipeline
 
+    if embedding_near_dedup:
+        # resolve/validate the sidecar plane config UP FRONT: a conflicting
+        # srp_planes must fail even when this run turns out to be a no-op
+        # (the config error is real regardless of the batch's content)
+        srp_planes = _srp_meta(store.base / "srp_index", srp_planes)
     # one scan of the commit history serves both anti-joins (url, then
     # text digest). The digest join is the global keep-first dedup across
     # runs: a url whose text body was already processed under another url in
@@ -606,7 +618,7 @@ def run_resumable_pipeline(
             )
         if embedding_near_dedup:
             verdicts, new_srp_idx, srp_store = _apply_embedding_near_dedup(
-                spark, store, verdicts, committed
+                spark, store, verdicts, committed, planes=srp_planes
             )
         if near_dedup or embedding_near_dedup:
             verdicts = verdicts.persist()
@@ -819,17 +831,44 @@ def _apply_near_dedup(spark, store, verdicts, committed):
     return updated, survivors_idx, idx_store, bands_store
 
 
-# embedding near-dedup sidecar parameters — ONE definition shared by the
-# ingest path and the reconciliation re-encode (bucket equality across
-# batches requires identical planes)
-_SRP_ND_KW = dict(num_planes=8)
+# embedding near-dedup sidecar parameters. num_planes defaults here but is
+# CONFIGURABLE per store (srp_planes=) and persisted in the sidecar's
+# _meta.json: bucket equality across batches requires identical planes, so
+# the persisted value always wins and a conflicting explicit request fails
+# loudly (re-bucketing an index requires wiping it — reconciliation then
+# re-encodes from committed clean_text). At 10^12 docs raise planes so
+# per-bucket populations stay bounded (2^planes buckets).
+_SRP_ND_PLANES_DEFAULT = 8
 _SRP_ND_MIN_COS = 0.99
-# bucket 0..2^planes-1 -> 16 'pX' directory partitions (letter prefix:
-# a bare hex digit would partition-type-infer as numeric)
-_SRP_PFX_EXPR = "concat('p', lower(hex(bucket div 16)))"
+# bucket -> 16 'pX' directory partitions, FIXED cardinality regardless of
+# num_planes (mod, not div: div 16 explodes to 2^(planes-4) dirs at high
+# planes). Letter prefix: a bare hex digit would partition-type-infer as
+# numeric.
+_SRP_PFX_EXPR = "concat('p', lower(hex(pmod(bucket, 16))))"
 
 
-def _srp_index_table(kept: DataFrame) -> DataFrame:
+def _srp_meta(store_base: Path, planes: int | None) -> int:
+    """Resolve the sidecar's num_planes: persisted _meta.json wins; first
+    use writes it. An explicit `planes` conflicting with the persisted
+    value raises (the index's buckets are only comparable at one plane
+    count)."""
+    meta_path = store_base / "_meta.json"
+    if meta_path.exists():
+        persisted = json.loads(meta_path.read_text())["num_planes"]
+        if planes is not None and planes != persisted:
+            raise ValueError(
+                f"srp_index at {store_base} was built with num_planes="
+                f"{persisted}; requested {planes}. Wipe the sidecar to "
+                "re-bucket (reconciliation re-encodes committed docs)."
+            )
+        return persisted
+    planes = planes if planes is not None else _SRP_ND_PLANES_DEFAULT
+    store_base.mkdir(parents=True, exist_ok=True)
+    meta_path.write_text(json.dumps({"num_planes": planes}))
+    return planes
+
+
+def _srp_index_table(kept: DataFrame, num_planes: int) -> DataFrame:
     """(id, v, bucket, bucket_pfx) for a set of kept docs: ONE encoder pass
     (models.doc_embedding_udf — Arrow-batched, executor-singleton model)
     then JVM-side SRP bucketing. bucket_pfx is the directory-partition
@@ -840,16 +879,17 @@ def _srp_index_table(kept: DataFrame) -> DataFrame:
     emb = kept.select(
         "doc_id", doc_embedding_udf("clean_text").alias("embedding")
     )
-    return srp_index(emb, "doc_id", "embedding", **_SRP_ND_KW).withColumn(
+    return srp_index(emb, "doc_id", "embedding", num_planes=num_planes).withColumn(
         "bucket_pfx", F.expr(_SRP_PFX_EXPR)
     )
 
 
-def _apply_embedding_near_dedup(spark, store, verdicts, committed):
+def _apply_embedding_near_dedup(spark, store, verdicts, committed, planes=None):
     """Flip embedding near-dup newcomers to keep=false /
     excl_type='emb_near_dup'; return (updated_verdicts, index_of_survivors,
     srp_store). Mirrors _apply_near_dedup's reconciliation gate, prefix
-    pruning, and commit ordering — see run_resumable_pipeline docstring."""
+    pruning, and commit ordering — see run_resumable_pipeline docstring.
+    `planes` resolves against the sidecar's persisted _meta.json (_srp_meta)."""
     from puddin_spark.operators.dedup import (
         free_local_checkpoints,
         resolve_duplicate_clusters,
@@ -857,6 +897,7 @@ def _apply_embedding_near_dedup(spark, store, verdicts, committed):
     from puddin_spark.operators.similarity import incremental_srp_pairs
 
     srp_store = SnapshotStore(store.base / "srp_index")
+    num_planes = _srp_meta(srp_store.base, planes)
     committed_idx = srp_store.read(spark)
     if committed is not None:
         # index<->corpus reconciliation (same shape as minhash: stale
@@ -881,7 +922,7 @@ def _apply_embedding_near_dedup(spark, store, verdicts, committed):
                 lag = lag.join(
                     pruned.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
                 )
-            lag_idx = _srp_index_table(lag)
+            lag_idx = _srp_index_table(lag, num_planes)
             reconciled = (
                 lag_idx if pruned is None else pruned.unionByName(lag_idx)
             )
@@ -894,7 +935,7 @@ def _apply_embedding_near_dedup(spark, store, verdicts, committed):
     # localCheckpoint: ONE encoding pass serves prefix discovery, the pair
     # join, and the survivors commit (blocks freed by the caller once the
     # index commit lands)
-    new_idx = _srp_index_table(kept).localCheckpoint()
+    new_idx = _srp_index_table(kept, num_planes).localCheckpoint()
     if committed_idx is not None:
         # static prefix pruning: the committed index is directory-
         # partitioned by bucket_pfx, so filtering to the BATCH's own

@@ -40,18 +40,22 @@ def run_streaming_pipeline(
     num_partitions: int = 32,
     available_now: bool = True,
     near_dedup: bool = False,
+    embedding_near_dedup: bool = False,
     html_fallback: bool = False,
 ):
     """Continuous ingestion: each micro-batch runs the batch pipeline body
     and commits atomically. Returns the StreamingQuery (caller awaits).
     near_dedup extends the replay-idempotence contract to fuzzy twins:
     every micro-batch dedups against the minhash index of all prior
-    batches (see run_resumable_pipeline)."""
+    batches; embedding_near_dedup is the embedding-space analog over the
+    SRP index sidecar (see run_resumable_pipeline for both)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_resumable_pipeline(
             spark, batch_df, store, num_partitions=num_partitions,
-            near_dedup=near_dedup, html_fallback=html_fallback,
+            near_dedup=near_dedup,
+            embedding_near_dedup=embedding_near_dedup,
+            html_fallback=html_fallback,
         )
 
     writer = (

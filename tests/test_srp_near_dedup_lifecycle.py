@@ -216,3 +216,40 @@ def test_minhash_and_embedding_near_dedup_compose(spark, tmp_path):
     n_kept = v1.filter("keep").count()
     assert SnapshotStore(store.base / "minhash_index").read(spark).count() == n_kept
     assert SnapshotStore(store.base / "srp_index").read(spark).count() == n_kept
+
+
+def test_srp_planes_persisted_and_guarded(spark, tmp_path):
+    """First use records num_planes in the sidecar's _meta.json; later
+    runs inherit it when unspecified and FAIL LOUDLY on a conflicting
+    explicit value (bucket keys across plane counts are incomparable)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    store = SnapshotStore(tmp_path / "v")
+    pages = synth_pages_local(spark, 30).cache()
+    run_resumable_pipeline(
+        spark, pages.limit(15), store, num_partitions=2,
+        embedding_near_dedup=True, srp_planes=10,
+    )
+    meta = _json.loads((store.base / "srp_index" / "_meta.json").read_text())
+    assert meta["num_planes"] == 10
+    idx = SnapshotStore(store.base / "srp_index").read(spark)
+    assert idx.agg(F.max("bucket")).first()[0] < 1 << 10
+
+    # unspecified -> persisted value; twin still caught at 10 planes
+    src = store.read(spark).filter("keep").orderBy("doc_id").limit(1).collect()[0]
+    twin = _emb_twin(spark, src.clean_text, "https://twin.example/pl", pages)
+    batch2 = pages.subtract(pages.limit(15)).unionByName(twin.select(*pages.columns))
+    run_resumable_pipeline(
+        spark, batch2, store, num_partitions=2, embedding_near_dedup=True
+    )
+    t = store.read(spark).filter("url = 'https://twin.example/pl'").first()
+    assert t.keep is False and t.excl_type == "emb_near_dup"
+
+    # conflicting explicit value refuses instead of silently mismatching
+    with _pytest.raises(ValueError, match="num_planes"):
+        run_resumable_pipeline(
+            spark, pages, store, num_partitions=2,
+            embedding_near_dedup=True, srp_planes=12,
+        )

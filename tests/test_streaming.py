@@ -228,3 +228,43 @@ def test_stream_html_fallback_commits_wet_missing(spark, tmp_path):
     kept_html = got.filter("url like 'https://synth.example.org/h/%' and keep")
     assert kept_html.count() == n_html
     assert kept_html.filter("clean_text is null or clean_text = ''").count() == 0
+
+
+def test_streaming_embedding_near_dedup(spark, tmp_path):
+    """Streaming ingestion with embedding_near_dedup: a later drop's
+    word-order-permuted twin of an earlier micro-batch's doc (same bag of
+    words -> cosine exactly 1.0; invisible to sha and shingle dedup) is
+    excluded as emb_near_dup through the SRP index sidecar."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.synth import synth_pages_local
+
+    pages = synth_pages_local(spark, 30).cache()
+    d = tmp_path / "drops"
+    d.mkdir()
+    pages.coalesce(1).write.mode("append").parquet(str(d))
+    store = SnapshotStore(tmp_path / "store")
+    q = run_streaming_pipeline(
+        spark, str(d), store, str(tmp_path / "ck"), num_partitions=2,
+        embedding_near_dedup=True,
+    )
+    q.awaitTermination(300)
+
+    src = store.read(spark).filter("keep").limit(1).collect()[0]
+    twin = spark.createDataFrame(
+        [("https://twin.example/es", " ".join(reversed(src.clean_text.split())))],
+        "url string, text string",
+    ).selectExpr(
+        "url", "cast('2024-01-01' as timestamp) as warc_ts",
+        "cast(null as binary) as html", "text", "'en' as lang",
+    )
+    twin.select(*pages.columns).coalesce(1).write.mode("append").parquet(str(d))
+    q2 = run_streaming_pipeline(
+        spark, str(d), store, str(tmp_path / "ck"), num_partitions=2,
+        embedding_near_dedup=True,
+    )
+    q2.awaitTermination(300)
+    row = store.read(spark).filter(
+        F.col("url") == "https://twin.example/es"
+    ).collect()[0]
+    assert row.keep is False and row.excl_type == "emb_near_dup"
