@@ -101,3 +101,41 @@ def test_golden_model_fixtures_match_fresh_replay():
         )
         assert frozen_lang.equals(fresh_lang), f"langid golden drifted at {sf}"
         assert frozen_ppl.equals(fresh_ppl), f"perplexity golden drifted at {sf}"
+
+
+def test_doc_embedding_model_contrast_and_determinism():
+    """Pure-Python contract of the embedding stand-in (no Spark): stable
+    across instances, unit-norm, permutation-invariant (bag of words),
+    random docs far below the 0.99 near-dup bar, scaled copies identical."""
+    import math
+    import random
+
+    from puddin_spark.models import EMBEDDING_DIM, DocEmbeddingModel
+
+    m1, m2 = DocEmbeddingModel(), DocEmbeddingModel()
+    doc = "the quick brown fox jumps over the lazy dog again and again"
+    v1, v2 = m1.encode_one(doc), m2.encode_one(doc)
+    assert v1 == v2 and len(v1) == EMBEDDING_DIM
+    assert abs(math.sqrt(sum(x * x for x in v1)) - 1.0) < 1e-9
+
+    # permutation invariance: word-order reversal is the SAME vector
+    rev = " ".join(reversed(doc.split()))
+    assert m1.encode_one(rev) == v1
+    # doubling the text preserves direction exactly
+    assert m1.encode_one(doc + " " + doc) == v1
+
+    # signed hashing centers random-doc cosines near 0
+    random.seed(3)
+    vocab = [f"w{random.randint(0, 5000)}" for _ in range(2000)]
+    docs = [" ".join(random.choice(vocab) for _ in range(120)) for _ in range(20)]
+    vecs = [m1.encode_one(d) for d in docs]
+    cosines = [
+        sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+    ]
+    assert max(abs(c) for c in cosines) < 0.9  # far below the 0.99 bar
+
+    # empty / whitespace-only input -> zero vector, not NaN
+    assert m1.encode_one("") == [0.0] * EMBEDDING_DIM
+    assert m1.encode_one("   ") == [0.0] * EMBEDDING_DIM
