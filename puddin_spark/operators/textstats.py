@@ -128,3 +128,56 @@ def apply_quality_gate(
         .alias("excl_type"),
     )
     return out.select(*keep_cols)  # original column order
+
+
+def toxicity_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document toxicity signals: `tox_hits` (count of
+    wordlist matches, rules.TOXICITY_WORDS — the same frozen lexicon the
+    [TOX] masker uses) and `tox_ratio` (hits / whitespace tokens). Pure
+    codegen (regexp_extract_all + size), mechanical DuckDB twin; the
+    SCORING side of the north rule's toxicity-scrub axis — score to gate
+    documents, mask (rules.scrub_pii) to clean the survivors."""
+    from puddin_spark.rules import TOXICITY_WORDS
+
+    # \\b in the SQL literal: a single backslash would parse as the
+    # backspace escape inside Spark's string literal
+    pat = r"\\b(" + "|".join(TOXICITY_WORDS) + r")\\b"
+    hits = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
+    return df.withColumn("tox_hits", hits).withColumn(
+        "tox_ratio",
+        F.round(
+            F.col("tox_hits")
+            / F.greatest(token_count_col(text_col), F.lit(1)),
+            6,
+        ),
+    )
+
+
+def apply_toxicity_gate(
+    verdicts: DataFrame, max_ratio: float, text_col: str = "clean_text"
+) -> DataFrame:
+    """Toxicity filter composing AFTER the rule battery (mirror of
+    apply_quality_gate): kept docs whose toxic-token ratio exceeds
+    `max_ratio` flip to keep=false with excl_type='toxic' (clean_text
+    nulled per the verdict contract). Pure codegen projection — no
+    shuffle, no Python."""
+    from puddin_spark.rules import TOXICITY_WORDS
+
+    pat = r"\\b(" + "|".join(TOXICITY_WORDS) + r")\\b"
+    hits = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
+    ratio = F.round(
+        hits / F.greatest(token_count_col(text_col), F.lit(1)), 6
+    )
+    tox = F.col("keep") & (ratio > max_ratio)
+    keep_cols = verdicts.columns
+    out = verdicts.withColumn("_tox", tox).select(
+        *[c for c in keep_cols if c not in ("keep", "excl_type", text_col)],
+        F.when(F.col("_tox"), F.lit(None).cast("string"))
+        .otherwise(F.col(text_col))
+        .alias(text_col),
+        (F.col("keep") & ~F.col("_tox")).alias("keep"),
+        F.when(F.col("_tox"), F.lit("toxic"))
+        .otherwise(F.col("excl_type"))
+        .alias("excl_type"),
+    )
+    return out.select(*keep_cols)

@@ -1047,6 +1047,39 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+# the corpus contains no wordlist hits (verified), so the gate injects a
+# deterministic toxic tail for doc_id%9=4 identically in both engines
+_AUG_TOX_SQL = (
+    "case when doc_id % 9 = 4 then concat(text, ' damn hell crap damn')"
+    " else text end"
+)
+
+
+def q_toxicity_scores(spark, sf_dir):
+    """Per-document toxicity scoring (the SCORE side of the north rule's
+    toxicity-scrub axis; masking is pii_scrub): wordlist hit count + ratio
+    over whitespace tokens, pure codegen (textstats.toxicity_columns)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_AUG_TOX_SQL).alias("text")
+    )
+    return textstats.toxicity_columns(d, "text").select(
+        "doc_id", "tox_hits", "tox_ratio"
+    )
+
+
+O_TOXICITY_SCORES = f"""
+with t as (select doc_id, {_AUG_TOX_SQL} as text from documents),
+h as (select doc_id,
+        cast(len(regexp_extract_all(lower(text), '\\b(damn|hell|crap)\\b', 0)) as int)
+          as tox_hits,
+        cast(len(string_split_regex(trim(lower(text)), '\\s+')) as int) as n_toks
+      from t)
+select doc_id, tox_hits,
+       round(cast(tox_hits as double) / greatest(n_toks, 1), 6) as tox_ratio
+from h
+"""
+
+
 O_TOKEN_COUNTS = """
 select doc_id,
        cast(len(string_split_regex(trim(lower(text)), '\\s+')) as int) as n_tokens,
@@ -1952,6 +1985,9 @@ LOCAL_QUERIES = {
     "simhash_values": q_simhash_values,
     "srp_buckets": q_srp_buckets,
     "events_hourly": q_events_hourly,
+    # round-4 addition: scoring twin of the pii/toxicity masker (local so
+    # the driver dict stays at exactly 50; same oracle discipline)
+    "toxicity_scores": q_toxicity_scores,
 }
 
 # Union for local replay + bench lookups.
@@ -2008,6 +2044,7 @@ def oracle_queries() -> dict[str, str]:
         "salted_rule_counts": O_SALTED_RULE_COUNTS,
         "boilerplate_lines": O_BOILERPLATE_LINES,
         "repetition_scores": O_REPETITION_SCORES,
+        "toxicity_scores": O_TOXICITY_SCORES,
         "events_sessionize": O_EVENTS_SESSIONIZE,
         "conllu_annotated": _oracle_conllu_annotated(),
         "lemma_stats_rollup": _oracle_lemma_stats(),

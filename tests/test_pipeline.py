@@ -391,3 +391,43 @@ def test_blocked_copy_never_shadows_unblocked_twin(spark):
         assert got["https://ok.com/dup"]["excl_type"] != "blocked_domain"
         # the blocked copy dropped as the dedup loser (no verdict row)
         assert "https://site2.com/dup" not in got
+
+
+def test_apply_toxicity_gate_composes_with_verdicts(spark):
+    """Toxicity gate after the rule battery: kept docs whose toxic-token
+    ratio exceeds the threshold flip to excl_type='toxic' (clean_text
+    nulled); clean docs and previously-dropped docs are untouched; the
+    gate itself is a pure codegen projection."""
+    from puddin_spark.operators.textstats import apply_toxicity_gate
+    from puddin_spark.plans import executed_plan
+
+    pages = synth_pages_local(spark, 60, include_fixtures=False)
+    # inject a toxic tail into a deterministic subset of raw texts
+    pages = pages.withColumn(
+        "text",
+        F.when(
+            F.crc32("url") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" damn hell crap damn hell")),
+        ).otherwise(F.col("text")),
+    )
+    verdicts = quality_pipeline(pages, num_partitions=4).cache()
+    gated = apply_toxicity_gate(verdicts, max_ratio=0.0)
+    assert gated.columns == verdicts.columns
+    flipped = gated.filter("excl_type = 'toxic'")
+    assert flipped.count() > 0
+    assert gated.filter("keep").count() > 0
+    assert flipped.filter("keep or clean_text is not null").count() == 0
+    # every flipped doc was previously kept and actually carries the tail
+    prev = verdicts.select(
+        "doc_id", F.col("keep").alias("was_keep"), F.col("clean_text").alias("ct")
+    )
+    j = flipped.join(prev, "doc_id")
+    assert j.filter("not was_keep").count() == 0
+    assert j.filter("ct not like '% damn hell crap damn hell'").count() == 0
+    # originally-dropped docs are byte-identical rows
+    a = verdicts.filter("not keep")
+    b = gated.join(a.select("doc_id"), "doc_id", "left_semi")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    plan_tail = executed_plan(gated).split("InMemoryTableScan")[0]
+    assert "Exchange" not in plan_tail
+    assert "EvalPython" not in plan_tail
