@@ -111,10 +111,44 @@ def test_pillow_through_decoder_seam():
         multimodal._DECODER = old
 
 
+def test_sentence_transformers_through_embedding_seam():
+    """If a real sentence encoder is present, prove the swap seam carries
+    it (any object with encode(texts) -> vectors); otherwise skip."""
+    import pytest as _pytest
+
+    if not _has("sentence_transformers"):
+        _pytest.skip("sentence_transformers not installed")
+    from puddin_spark import models
+
+    class Wrapper:
+        def __init__(self):
+            from sentence_transformers import SentenceTransformer
+
+            self._m = SentenceTransformer("all-MiniLM-L6-v2")
+
+        def encode(self, texts):
+            return [list(map(float, v)) for v in self._m.encode(list(texts))]
+
+    old = models._EMBEDDING_SINGLETON
+    try:
+        models.swap_embedding_model(Wrapper())
+        vecs = models._get_embedder().encode(["hello world"])
+        assert len(vecs) == 1 and len(vecs[0]) > 0
+    finally:
+        models._EMBEDDING_SINGLETON = old
+
+
 def test_environment_gap_is_current():
     """Fail loudly the moment any real library APPEARS in the env, so the
     seams get wired instead of silently shadowed by stand-ins."""
-    present = [m for m in ("unidecode", "fasttext", "stanza", "PIL", "kenlm") if _has(m)]
+    present = [
+        m
+        for m in (
+            "unidecode", "fasttext", "stanza", "PIL", "kenlm",
+            "sentence_transformers",
+        )
+        if _has(m)
+    ]
     assert not present, (
         f"real libraries now installed: {present} — wire them through their "
         "seams (see module docstring) and update BASELINE.md"
