@@ -56,6 +56,7 @@ def cmd_run(args) -> int:
         near_dedup=args.near_dedup,
         embedding_near_dedup=args.embedding_near_dedup,
         srp_planes=args.srp_planes,
+        srp_bands=args.srp_bands,
         html_fallback=args.html_fallback,
         blocked_domains=blocked,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
@@ -219,6 +220,7 @@ def cmd_compact(args) -> int:
         "verdicts/minhash_index",
         "verdicts/minhash_bands",
         "verdicts/srp_index",
+        "verdicts/srp_bands",
     ):
         base = Path(args.dest) / name
         commits = base / "_commits"
@@ -291,9 +293,19 @@ def main(argv: list[str] | None = None) -> int:
                 type=int,
                 default=None,
                 dest="srp_planes",
-                help="SRP plane count for --embedding-near-dedup (first"
-                " run sets it, persisted in the sidecar; 2^planes buckets"
-                " — raise at larger corpus scales)",
+                help="SRP planes per band for --embedding-near-dedup"
+                " (first run sets it, persisted in the sidecar; random"
+                " collisions per band scale as N/2^planes — raise at"
+                " larger corpus scales)",
+            )
+            sp.add_argument(
+                "--srp-bands",
+                type=int,
+                default=None,
+                dest="srp_bands",
+                help="SRP band count for --embedding-near-dedup (first"
+                " run sets it, persisted; candidates share ANY band key"
+                " — more bands, higher near-twin recall)",
             )
             sp.add_argument(
                 "--partition-by",

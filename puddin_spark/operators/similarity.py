@@ -13,7 +13,9 @@
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,13 +82,16 @@ def srp_weight_expr(plane: int, dim_var: str = "i") -> str:
     )
 
 
-def srp_bucket_col(vec_col: str, num_planes: int = 8):
-    """LSH bucket id = sum over planes of (dot(v, w_p) > 0) << p."""
+def srp_bucket_col(vec_col: str, num_planes: int = 8, plane_offset: int = 0):
+    """LSH bucket id = sum over planes of (dot(v, w_p) > 0) << p.
+    plane_offset selects a DISJOINT hyperplane family (planes
+    [offset, offset+num_planes)) so banded SRP can derive independent
+    bucket keys from one vector (srp_band_table)."""
     bits = []
     for p in range(num_planes):
         dot = (
             f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
-            f" (x, i) -> cast(x as double) * {srp_weight_expr(p)}),"
+            f" (x, i) -> cast(x as double) * {srp_weight_expr(p + plane_offset)}),"
             f" cast(0.0 as double), (acc, v) -> acc + v)"
         )
         bits.append(f"(case when {dot} > 0 then {1 << p} else 0 end)")
@@ -376,3 +381,184 @@ def incremental_srp_pairs(
         .filter(F.col("cos_sim") >= min_cos)
         .select("id_a", "id_b", "bucket", "cos_sim", "committed_side")
     )
+
+
+def srp_band_table(
+    index: DataFrame,
+    num_planes: int = 16,
+    num_bands: int = 8,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Banded SRP keys: one (id, band, bucket) row per band, each band's
+    bucket drawn from a DISJOINT hyperplane family (planes
+    [band*num_planes, (band+1)*num_planes)). The multi-band OR is what
+    makes SRP near-dedup survive scale: a SINGLE 2^8-bucket key collides
+    random docs at rate N/256 (candidate verification cost grows linearly
+    with a steep slope — measured in BASELINE.md), while B bands of P
+    planes collide at B*N/2^P with near-twin recall 1-(1-m)^B for
+    per-band match probability m = (1 - theta/pi)^P. At P=16, B=8 and
+    cosine 0.995 that is ~0.9997 recall with 256x fewer random
+    collisions per band. Pure function of the vector — a derived cache
+    rebuildable by projection, never by re-encoding (the minhash band
+    table's contract). Single pass: one array-of-structs explode."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                srp_bucket_col(
+                    vec_col, num_planes, plane_offset=b * num_planes
+                ).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return index.select(
+        F.col(id_col).alias("id"), F.explode(bands).alias("_bb")
+    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+
+def incremental_srp_band_pairs(
+    new_index: DataFrame,
+    new_bands: DataFrame,
+    committed_index: DataFrame | None,
+    committed_bands: DataFrame | None,
+    *,
+    min_cos: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded-SRP near-dup pairs for an INCREMENTAL ingest: candidates
+    share ANY (band, bucket) key with a new doc — new-vs-committed and
+    new-vs-new only, never committed-vs-committed. Index frames are
+    (id, v); band frames are srp_band_table output built with identical
+    (num_planes, num_bands). Plan shape: the committed band side
+    semi-joins against only the BATCH's (band, bucket) keys, multi-band
+    duplicate candidates collapse BEFORE the vectors rejoin, and exact
+    cosine verifies only surviving candidates. Returns (id_a, id_b,
+    cos_sim, committed_side)."""
+    nb = new_bands.select("id", "band", "bucket").withColumn("_new", F.lit(True))
+    b = nb
+    if committed_bands is not None:
+        new_keys = nb.select("band", "bucket").distinct()
+        b = nb.unionByName(
+            committed_bands.select("id", "band", "bucket")
+            .join(new_keys, ["band", "bucket"], "left_semi")
+            .withColumn("_new", F.lit(False))
+        )
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "bucket")
+        b = (
+            b.withColumn("_bn", F.count("*").over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = b.select(
+        F.col("id").alias("id_a"), F.col("_new").alias("new_a"), "band", "bucket"
+    )
+    c = b.select(
+        F.col("id").alias("id_b"), F.col("_new").alias("new_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("new_a") | F.col("new_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (~(F.col("new_a") & F.col("new_b"))).alias("committed_side"),
+        )
+        # multi-band duplicates collapse BEFORE the (wide) vector rejoin
+        .distinct()
+    )
+    vecs = new_index.select("id", "v")
+    if committed_index is not None:
+        vecs = vecs.unionByName(committed_index.select("id", "v"))
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+        )
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+        # numpy-vectorized verification: on boilerplate-heavy corpora the
+        # candidate set is dominated by genuinely-similar (cos 0.8-0.99)
+        # pairs LSH correctly surfaces, and the interpreted SQL fold costs
+        # ~0.3 ms per pair — measured as the dominant ingest cost
+        # (BASELINE.md). One Arrow batch matmul replaces it.
+        .withColumn("cos_sim", cosine_pairs_udf()(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", "cos_sim", "committed_side")
+    )
+
+
+def cosine_pairs_udf():
+    """Factory for a batch-cosine pandas UDF over aligned vector pairs
+    (row-wise einsum over the whole Arrow batch; ~1000x the interpreted
+    SQL fold). A factory, not a module-level UDF: @pandas_udf parses its
+    DDL at decoration time and would demand an active SparkContext at
+    import. Rounded to 6 dp like cosine_col; note np.round is half-even
+    where Spark's round is half-away — irrelevant for threshold filters,
+    so callers needing an engine-exact oracle twin use cosine_col."""
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.asarray(va.tolist(), dtype=np.float64)
+        b = np.asarray(vb.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", a, b)
+        norms = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.round(dots / norms, 6)
+        return pd.Series(out)
+
+    return _cos
+
+
+def srp_band_buckets_udf(num_planes: int, num_bands: int):
+    """Factory: Arrow-batched pandas UDF computing ALL band buckets for a
+    vector column in one numpy matmul — the production path for banded-SRP
+    sidecars. The SQL form (srp_band_table) evaluates
+    num_bands*num_planes*dim interpreted lambda steps PER ROW (~8k at
+    16x8x64 — measured as the dominant ingest cost, BASELINE.md); here the
+    same hyperplane family (srp_weight_expr's integer LCG, identical
+    constants) is a (bands*planes, dim) weight matrix applied to the whole
+    Arrow batch at once. Sign equality with the SQL fold holds whenever a
+    plane dot is not within float-summation noise of zero (pytest pins
+    equivalence on random vectors); an index must be built and rebuilt
+    through ONE implementation either way — this one."""
+    import numpy as np
+
+    total = num_bands * num_planes
+    cache: dict[int, "np.ndarray"] = {}
+
+    def weights(dim: int) -> "np.ndarray":
+        w = cache.get(dim)
+        if w is None:
+            planes = np.arange(total, dtype=np.int64)[:, None]
+            dims = np.arange(dim, dtype=np.int64)[None, :]
+            w = (
+                (1103515245 * (dims + 7919 * planes) + 12345) % 1000
+            ).astype(np.float64) / 999.0 - 0.5
+            cache[dim] = w
+        return w
+
+    shifts = (1 << np.arange(num_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _buckets(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            vals = series.tolist()
+            if not vals:
+                yield pd.Series([], dtype=object)
+                continue
+            mat = np.asarray(vals, dtype=np.float64)
+            bits = (mat @ weights(mat.shape[1]).T) > 0  # n x (bands*planes)
+            out = [
+                [
+                    int((row[b * num_planes : (b + 1) * num_planes] * shifts).sum())
+                    for b in range(num_bands)
+                ]
+                for row in bits
+            ]
+            yield pd.Series(out)
+
+    return _buckets

@@ -488,7 +488,9 @@ def _prune_near_dedup_sidecar(spark, store: SnapshotStore, verdicts: DataFrame) 
     row-count gate, which rebuilds it from the pruned index by projection
     on the next ingest. No-op for any sidecar that was never enabled."""
     kept = verdicts.filter("keep").select(F.col("doc_id").alias("id"))
-    for name, part in (("minhash_index", None), ("srp_index", ["bucket_pfx"])):
+    # band caches (minhash_bands, srp_bands) are left to their row-count
+    # gates, which rebuild them from the pruned indexes by projection
+    for name, part in (("minhash_index", None), ("srp_index", None)):
         idx_base = store.base / name
         if not (idx_base / "_commits").exists() or not any(
             (idx_base / "_commits").glob("*.json")
@@ -512,6 +514,7 @@ def run_resumable_pipeline(
     near_dedup: bool = False,
     embedding_near_dedup: bool = False,
     srp_planes: int | None = None,
+    srp_bands: int | None = None,
     html_fallback: bool = False,
     blocked_domains=None,
     partition_by: list[str] | None = None,
@@ -553,12 +556,16 @@ def run_resumable_pipeline(
     commit. Same reconciliation gate, commit ordering, and compact()/gc()
     lifecycle as the minhash sidecar; composes with near_dedup=True
     (minhash flips land first, the embedding pass sees only survivors).
-    srp_planes sets the SRP plane count on FIRST use (default 8; raise it
-    at larger corpus scales so 2^planes buckets keep per-bucket
-    populations bounded); the value persists in the sidecar's _meta.json
-    and later runs must match it or omit it — bucket keys from different
-    plane counts are incomparable, so a mismatch raises instead of
-    silently generating no candidates.
+    The index is BANDED (srp_bands bucket keys per doc, each from a
+    disjoint srp_planes-plane family; candidates share ANY band key) so
+    near-twin recall stays high while random collisions per band scale as
+    N/2^planes — the band table lives at <base>/srp_bands as a derived
+    cache with the minhash band table's lifecycle. srp_planes/srp_bands
+    apply on FIRST use (defaults 16/8; raise planes at larger corpus
+    scales), persist in the sidecar's _meta.json, and later runs must
+    match or omit them — band keys from different configs are
+    incomparable, so a mismatch raises instead of silently generating no
+    candidates.
 
     Returns (snapshot_id, n_new_docs); snapshot_id is -1 when there was
     nothing new (no empty commits — rerun after success is a no-op, the
@@ -567,10 +574,12 @@ def run_resumable_pipeline(
     from puddin_spark.pipeline import lineage_table, quality_pipeline
 
     if embedding_near_dedup:
-        # resolve/validate the sidecar plane config UP FRONT: a conflicting
-        # srp_planes must fail even when this run turns out to be a no-op
-        # (the config error is real regardless of the batch's content)
-        srp_planes = _srp_meta(store.base / "srp_index", srp_planes)
+        # resolve/validate the sidecar band config UP FRONT: a conflicting
+        # srp_planes/srp_bands must fail even when this run turns out to be
+        # a no-op (the config error is real regardless of batch content)
+        srp_planes, srp_bands = _srp_meta(
+            store.base / "srp_index", srp_planes, srp_bands
+        )
     # one scan of the commit history serves both anti-joins (url, then
     # text digest). The digest join is the global keep-first dedup across
     # runs: a url whose text body was already processed under another url in
@@ -611,14 +620,18 @@ def run_resumable_pipeline(
         n_new = verdicts.count()
         if n_new == 0:
             return -1, 0
-        idx_store = bands_store = srp_store = new_srp_idx = None
+        idx_store = bands_store = srp_store = srp_bands_store = None
+        new_srp_idx = new_srp_bands = None
         if near_dedup:
             verdicts, new_idx, idx_store, bands_store = _apply_near_dedup(
                 spark, store, verdicts, committed
             )
         if embedding_near_dedup:
-            verdicts, new_srp_idx, srp_store = _apply_embedding_near_dedup(
-                spark, store, verdicts, committed, planes=srp_planes
+            (
+                verdicts, new_srp_idx, new_srp_bands, srp_store, srp_bands_store,
+            ) = _apply_embedding_near_dedup(
+                spark, store, verdicts, committed,
+                planes=srp_planes, bands=srp_bands,
             )
         if near_dedup or embedding_near_dedup:
             verdicts = verdicts.persist()
@@ -655,7 +668,10 @@ def run_resumable_pipeline(
                 band_table(new_idx, **_ND_BAND_KW), partition_by=["band_pfx"]
             )
         if embedding_near_dedup and new_srp_idx is not None:
-            srp_store.commit(new_srp_idx, partition_by=["bucket_pfx"])
+            # index first, derived band cache last (a crash between the two
+            # commits is caught by the bands row-count gate next batch)
+            srp_store.commit(new_srp_idx)
+            srp_bands_store.commit(new_srp_bands, partition_by=["bucket_pfx"])
         if near_dedup or embedding_near_dedup:
             # ALL sidecar readers are committed — only now release the
             # batch's signature checkpoints and the drop-set checkpoint
@@ -664,7 +680,7 @@ def run_resumable_pipeline(
             # minhash index plan reaches them through `verdicts`)
             from puddin_spark.operators.dedup import free_local_checkpoints
 
-            for frame in (new_idx, new_srp_idx, verdicts):
+            for frame in (new_idx, new_srp_idx, new_srp_bands, verdicts):
                 if frame is not None:
                     free_local_checkpoints(frame)
         return snap_id, n_new
@@ -831,14 +847,21 @@ def _apply_near_dedup(spark, store, verdicts, committed):
     return updated, survivors_idx, idx_store, bands_store
 
 
-# embedding near-dedup sidecar parameters. num_planes defaults here but is
-# CONFIGURABLE per store (srp_planes=) and persisted in the sidecar's
-# _meta.json: bucket equality across batches requires identical planes, so
-# the persisted value always wins and a conflicting explicit request fails
-# loudly (re-bucketing an index requires wiping it — reconciliation then
-# re-encodes from committed clean_text). At 10^12 docs raise planes so
-# per-bucket populations stay bounded (2^planes buckets).
-_SRP_ND_PLANES_DEFAULT = 8
+# embedding near-dedup sidecar parameters. Banded SRP: num_bands bucket
+# keys per doc, each from a disjoint hyperplane family of num_planes
+# planes (similarity.srp_band_table — the minhash band table's shape).
+# Candidates share ANY band key, so near-twin recall stays high while
+# random collisions per band scale as N/2^planes: a single wide bucket
+# key has low recall for near (not exact) twins, a single narrow one
+# collides linearly with a steep slope (both measured — BASELINE.md
+# "Incremental embedding near-dedup"). Both knobs are configurable per
+# store (srp_planes/srp_bands) and persisted in the sidecar's _meta.json:
+# band-key equality across batches requires identical values, so the
+# persisted config always wins and a conflicting explicit request fails
+# loudly (re-bucketing requires wiping the sidecar — reconciliation then
+# re-encodes from committed clean_text).
+_SRP_ND_PLANES_DEFAULT = 16
+_SRP_ND_BANDS_DEFAULT = 8
 _SRP_ND_MIN_COS = 0.99
 # bucket -> 16 'pX' directory partitions, FIXED cardinality regardless of
 # num_planes (mod, not div: div 16 explodes to 2^(planes-4) dirs at high
@@ -847,57 +870,83 @@ _SRP_ND_MIN_COS = 0.99
 _SRP_PFX_EXPR = "concat('p', lower(hex(pmod(bucket, 16))))"
 
 
-def _srp_meta(store_base: Path, planes: int | None) -> int:
-    """Resolve the sidecar's num_planes: persisted _meta.json wins; first
-    use writes it. An explicit `planes` conflicting with the persisted
-    value raises (the index's buckets are only comparable at one plane
-    count)."""
+def _srp_meta(
+    store_base: Path, planes: int | None, bands: int | None = None
+) -> tuple[int, int]:
+    """Resolve the sidecar's (num_planes, num_bands): persisted _meta.json
+    wins; first use writes it. Explicit values conflicting with the
+    persisted config raise (band keys are only comparable at one
+    configuration)."""
     meta_path = store_base / "_meta.json"
     if meta_path.exists():
-        persisted = json.loads(meta_path.read_text())["num_planes"]
-        if planes is not None and planes != persisted:
-            raise ValueError(
-                f"srp_index at {store_base} was built with num_planes="
-                f"{persisted}; requested {planes}. Wipe the sidecar to "
-                "re-bucket (reconciliation re-encodes committed docs)."
-            )
-        return persisted
-    planes = planes if planes is not None else _SRP_ND_PLANES_DEFAULT
+        meta = json.loads(meta_path.read_text())
+        p = meta["num_planes"]
+        b = meta.get("num_bands", _SRP_ND_BANDS_DEFAULT)
+        for name, got, want in (("num_planes", planes, p), ("num_bands", bands, b)):
+            if got is not None and got != want:
+                raise ValueError(
+                    f"srp sidecar at {store_base} was built with {name}="
+                    f"{want}; requested {got}. Wipe the sidecar to re-bucket "
+                    "(reconciliation re-encodes committed docs)."
+                )
+        return p, b
+    p = planes if planes is not None else _SRP_ND_PLANES_DEFAULT
+    b = bands if bands is not None else _SRP_ND_BANDS_DEFAULT
     store_base.mkdir(parents=True, exist_ok=True)
-    meta_path.write_text(json.dumps({"num_planes": planes}))
-    return planes
+    meta_path.write_text(json.dumps({"num_planes": p, "num_bands": b}))
+    return p, b
 
 
-def _srp_index_table(kept: DataFrame, num_planes: int) -> DataFrame:
-    """(id, v, bucket, bucket_pfx) for a set of kept docs: ONE encoder pass
-    (models.doc_embedding_udf — Arrow-batched, executor-singleton model)
-    then JVM-side SRP bucketing. bucket_pfx is the directory-partition
-    column of the committed layout."""
+def _srp_index_table(kept: DataFrame) -> DataFrame:
+    """(id, v) for a set of kept docs: ONE encoder pass
+    (models.doc_embedding_udf — Arrow-batched, executor-singleton model).
+    Band keys are NOT stored here: they are a pure function of v
+    (_srp_bands_table), cached in the srp_bands sidecar and rebuilt by
+    projection, never by re-encoding — the minhash band table's contract."""
     from puddin_spark.models import doc_embedding_udf
-    from puddin_spark.operators.similarity import srp_index
 
-    emb = kept.select(
-        "doc_id", doc_embedding_udf("clean_text").alias("embedding")
-    )
-    return srp_index(emb, "doc_id", "embedding", num_planes=num_planes).withColumn(
-        "bucket_pfx", F.expr(_SRP_PFX_EXPR)
+    return kept.select(
+        F.col("doc_id").alias("id"),
+        doc_embedding_udf("clean_text").alias("v"),
     )
 
 
-def _apply_embedding_near_dedup(spark, store, verdicts, committed, planes=None):
+def _srp_bands_table(idx: DataFrame, num_planes: int, num_bands: int) -> DataFrame:
+    """(id, band, bucket, bucket_pfx) derived from an (id, v) index — one
+    Arrow-batched numpy matmul per batch (srp_band_buckets_udf; the SQL
+    formulation evaluates ~bands*planes*dim interpreted lambda steps per
+    row and was the measured dominant ingest cost). Still a pure
+    projection of the index: rebuildable without re-encoding. bucket_pfx
+    is the directory-partition column of the committed layout."""
+    from puddin_spark.operators.similarity import srp_band_buckets_udf
+
+    buckets = srp_band_buckets_udf(num_planes, num_bands)
+    return (
+        idx.select("id", F.posexplode(buckets("v")).alias("band", "bucket"))
+        .withColumn("bucket_pfx", F.expr(_SRP_PFX_EXPR))
+    )
+
+
+def _apply_embedding_near_dedup(
+    spark, store, verdicts, committed, planes=None, bands=None
+):
     """Flip embedding near-dup newcomers to keep=false /
     excl_type='emb_near_dup'; return (updated_verdicts, index_of_survivors,
-    srp_store). Mirrors _apply_near_dedup's reconciliation gate, prefix
-    pruning, and commit ordering — see run_resumable_pipeline docstring.
-    `planes` resolves against the sidecar's persisted _meta.json (_srp_meta)."""
+    survivor_bands, srp_store, srp_bands_store). Mirrors _apply_near_dedup:
+    the same (count, xor-of-ids) reconciliation gate on the index, a
+    row-count gate on the derived band cache, band-prefix partition
+    pruning for the committed-side scan, and the commit ordering in
+    run_resumable_pipeline's docstring. (planes, bands) resolve against
+    the sidecar's persisted _meta.json (_srp_meta)."""
     from puddin_spark.operators.dedup import (
         free_local_checkpoints,
         resolve_duplicate_clusters,
     )
-    from puddin_spark.operators.similarity import incremental_srp_pairs
+    from puddin_spark.operators.similarity import incremental_srp_band_pairs
 
     srp_store = SnapshotStore(store.base / "srp_index")
-    num_planes = _srp_meta(srp_store.base, planes)
+    srp_bands_store = SnapshotStore(store.base / "srp_bands")
+    num_planes, num_bands = _srp_meta(srp_store.base, planes, bands)
     committed_idx = srp_store.read(spark)
     if committed is not None:
         # index<->corpus reconciliation (same shape as minhash: stale
@@ -922,29 +971,48 @@ def _apply_embedding_near_dedup(spark, store, verdicts, committed, planes=None):
                 lag = lag.join(
                     pruned.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
                 )
-            lag_idx = _srp_index_table(lag, num_planes)
+            lag_idx = _srp_index_table(lag)
             reconciled = (
                 lag_idx if pruned is None else pruned.unionByName(lag_idx)
             )
-            srp_store.commit(reconciled, base=True, partition_by=["bucket_pfx"])
+            srp_store.commit(reconciled, base=True)
             committed_idx = srp_store.read(spark)
         if committed_idx is not None and committed_idx.isEmpty():
             committed_idx = None
 
-    kept = verdicts.filter("keep").select("doc_id", "clean_text")
-    # localCheckpoint: ONE encoding pass serves prefix discovery, the pair
-    # join, and the survivors commit (blocks freed by the caller once the
-    # index commit lands)
-    new_idx = _srp_index_table(kept, num_planes).localCheckpoint()
+    committed_bands = None
     if committed_idx is not None:
-        # static prefix pruning: the committed index is directory-
+        # the persisted band table is a pure DERIVED cache of the index
+        # (rebuilt by projection, never by re-encoding); a row-count gate
+        # detects lag from a crash between the index and bands commits or
+        # an index prune above
+        committed_bands = srp_bands_store.read(spark)
+        n_idx = committed_idx.count()
+        n_bands_rows = committed_bands.count() if committed_bands is not None else -1
+        if n_bands_rows != n_idx * num_bands:
+            srp_bands_store.commit(
+                _srp_bands_table(committed_idx, num_planes, num_bands),
+                base=True,
+                partition_by=["bucket_pfx"],
+            )
+            committed_bands = srp_bands_store.read(spark)
+
+    kept = verdicts.filter("keep").select("doc_id", "clean_text")
+    # localCheckpoint: ONE encoding pass serves band derivation, the pair
+    # join, and the survivors commit (blocks freed by the caller once the
+    # sidecar commits land)
+    new_idx = _srp_index_table(kept).localCheckpoint()
+    new_bands = _srp_bands_table(new_idx, num_planes, num_bands).localCheckpoint()
+    if committed_bands is not None:
+        # static prefix pruning: the committed band table is directory-
         # partitioned by bucket_pfx, so filtering to the BATCH's own
         # prefixes (<=16 values) prunes whole partitions from the scan;
-        # incremental_srp_pairs then semi-joins exact bucket keys
-        pfx = [r[0] for r in new_idx.select("bucket_pfx").distinct().collect()]
-        committed_idx = committed_idx.filter(F.col("bucket_pfx").isin(pfx))
-    pairs = incremental_srp_pairs(
-        new_idx, committed_idx, min_cos=_SRP_ND_MIN_COS
+        # incremental_srp_band_pairs then semi-joins exact (band, bucket)
+        pfx = [r[0] for r in new_bands.select("bucket_pfx").distinct().collect()]
+        committed_bands = committed_bands.filter(F.col("bucket_pfx").isin(pfx))
+    pairs = incremental_srp_band_pairs(
+        new_idx, new_bands, committed_idx, committed_bands,
+        min_cos=_SRP_ND_MIN_COS,
     ).persist()
     new_ids = kept.select(F.col("doc_id").alias("id"))
     vs_committed = pairs.filter("committed_side")
@@ -986,4 +1054,7 @@ def _apply_embedding_near_dedup(spark, store, verdicts, committed, planes=None):
     survivors_idx = new_idx.join(
         drops.select(F.col("doc_id").alias("id")), "id", "left_anti"
     )
-    return updated, survivors_idx, srp_store
+    survivor_bands = new_bands.join(
+        drops.select(F.col("doc_id").alias("id")), "id", "left_anti"
+    )
+    return updated, survivors_idx, survivor_bands, srp_store, srp_bands_store

@@ -67,7 +67,11 @@ def test_embedding_near_dedup_across_resumes(spark, tmp_path):
     assert v0.filter("excl_type = 'emb_near_dup'").count() == 0
     idx0 = SnapshotStore(store.base / "srp_index").read(spark)
     assert idx0.count() == v0.filter("keep").count()
-    assert set(idx0.columns) == {"id", "v", "bucket", "bucket_pfx"}
+    assert set(idx0.columns) == {"id", "v"}
+    # the derived band cache holds num_bands rows per indexed doc
+    bands0 = SnapshotStore(store.base / "srp_bands").read(spark)
+    assert bands0.count() % idx0.count() == 0 and bands0.count() > idx0.count()
+    assert set(bands0.columns) == {"id", "band", "bucket", "bucket_pfx"}
 
     # batch 2: fresh docs + an embedding twin of one committed KEPT doc
     src = v0.filter("keep").orderBy("doc_id").limit(1).collect()[0]
@@ -107,8 +111,9 @@ def test_embedding_near_dedup_across_resumes(spark, tmp_path):
     assert idx3.count() == v3.filter("keep").count()  # fully healed
 
 
-def test_srp_index_partitioned_and_pruned(spark, tmp_path):
+def test_srp_bands_partitioned_and_pruned(spark, tmp_path):
     from puddin_spark.plans import executed_plan
+    from puddin_spark.snapshots import _srp_meta
 
     store = SnapshotStore(tmp_path / "v")
     pages = synth_pages_local(spark, 60).cache()
@@ -122,16 +127,21 @@ def test_srp_index_partitioned_and_pruned(spark, tmp_path):
     idx = srp_store.read(spark)
     v = store.read(spark)
     assert idx.count() == v.filter("keep").count()
-    # on-disk layout: bucket_pfx=pX partition directories inside each snapshot
-    data_dirs = list((store.base / "srp_index").glob("snap-*/data"))
+    # derived-cache invariant: num_bands band rows per indexed doc
+    _, n_bands = _srp_meta(srp_store.base, None, None)
+    bands = SnapshotStore(store.base / "srp_bands").read(spark)
+    assert bands.count() == idx.count() * n_bands
+    # on-disk layout: bucket_pfx=pX partition directories inside each
+    # BAND-table snapshot (the index itself stays unpartitioned (id, v))
+    data_dirs = list((store.base / "srp_bands").glob("snap-*/data"))
     assert data_dirs and all(
         any(p.name.startswith("bucket_pfx=p") for p in d.iterdir() if p.is_dir())
         for d in data_dirs
     )
     # filtering on the partition column prunes at the scan — the shape the
     # incremental committed-side scan uses (filter to the batch's prefixes)
-    one_pfx = idx.select("bucket_pfx").first()[0]
-    plan = executed_plan(idx.filter(F.col("bucket_pfx") == one_pfx))
+    one_pfx = bands.select("bucket_pfx").first()[0]
+    plan = executed_plan(bands.filter(F.col("bucket_pfx") == one_pfx))
     assert (
         "PartitionFilters" in plan
         and "bucket_pfx" in plan.split("PartitionFilters")[1][:200]
@@ -159,14 +169,6 @@ def test_record_failures_prunes_srp_sidecar(spark, tmp_path):
     pruned = srp_store.read(spark)
     assert pruned.count() == v1.filter("keep").count()
     assert pruned.filter(F.col("id") == victim.doc_id).count() == 0
-    # partition spec survived the prune's base commit
-    data_dirs = list((store.base / "srp_index").glob("snap-*/data"))
-    assert any(
-        p.name.startswith("bucket_pfx=p")
-        for d in data_dirs
-        for p in d.iterdir()
-        if p.is_dir()
-    )
     # a future embedding twin of the now-excluded doc is KEPT (no stale
     # index entry drops it — the both-copies-lost bug)
     twin = _emb_twin(spark, victim.clean_text, "https://twin.example/rf", pages)
@@ -230,12 +232,13 @@ def test_srp_planes_persisted_and_guarded(spark, tmp_path):
     pages = synth_pages_local(spark, 30).cache()
     run_resumable_pipeline(
         spark, pages.limit(15), store, num_partitions=2,
-        embedding_near_dedup=True, srp_planes=10,
+        embedding_near_dedup=True, srp_planes=10, srp_bands=3,
     )
     meta = _json.loads((store.base / "srp_index" / "_meta.json").read_text())
-    assert meta["num_planes"] == 10
-    idx = SnapshotStore(store.base / "srp_index").read(spark)
-    assert idx.agg(F.max("bucket")).first()[0] < 1 << 10
+    assert meta["num_planes"] == 10 and meta["num_bands"] == 3
+    bands = SnapshotStore(store.base / "srp_bands").read(spark)
+    assert bands.agg(F.max("bucket")).first()[0] < 1 << 10
+    assert bands.agg(F.max("band")).first()[0] == 2
 
     # unspecified -> persisted value; twin still caught at 10 planes
     src = store.read(spark).filter("keep").orderBy("doc_id").limit(1).collect()[0]
@@ -253,3 +256,35 @@ def test_srp_planes_persisted_and_guarded(spark, tmp_path):
             spark, pages, store, num_partitions=2,
             embedding_near_dedup=True, srp_planes=12,
         )
+
+
+def test_numpy_band_buckets_match_sql_formulation(spark):
+    """The production numpy band-bucket UDF and the SQL srp_band_table
+    share one hyperplane family (identical LCG constants): identical
+    (id, band, bucket) rows on random unit vectors."""
+    import random
+
+    from puddin_spark.operators.similarity import (
+        srp_band_buckets_udf,
+        srp_band_table,
+    )
+
+    random.seed(17)
+    rows = []
+    for i in range(60):
+        v = [random.gauss(0, 1) for _ in range(64)]
+        n = sum(x * x for x in v) ** 0.5
+        rows.append((str(i), [x / n for x in v]))
+    idx = spark.createDataFrame(rows, "id string, v array<double>")
+    sql_rows = {
+        (r.id, r.band, int(r.bucket))
+        for r in srp_band_table(idx, num_planes=16, num_bands=8).collect()
+    }
+    udf = srp_band_buckets_udf(16, 8)
+    np_rows = {
+        (r.id, r.band, int(r.bucket))
+        for r in idx.select(
+            "id", F.posexplode(udf("v")).alias("band", "bucket")
+        ).collect()
+    }
+    assert np_rows == sql_rows
