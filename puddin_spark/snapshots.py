@@ -545,15 +545,15 @@ def run_resumable_pipeline(
 
     embedding_near_dedup=True is the EMBEDDING-space analog: each batch's
     kept docs are encoded (models.doc_embedding_udf — the
-    sentence-transformer seam's deterministic stand-in) and SRP-bucketed;
-    the signature index (id, v, bucket) lives at <base>/srp_index,
+    sentence-transformer seam's deterministic stand-in) into an (id, v)
+    index at <base>/srp_index, with its banded SRP key cache —
     directory-partitioned by bucket prefix so each batch's committed-side
-    scan prunes to its own bucket-prefix partitions
-    (similarity.incremental_srp_pairs — new-vs-committed and new-vs-new
-    only, the corpus is never re-encoded or re-paired). Newcomers with
-    cosine >= 0.99 of an indexed doc — or keep-first losers within the
-    batch's own clusters — flip to excl_type='emb_near_dup' before the
-    commit. Same reconciliation gate, commit ordering, and compact()/gc()
+    scan prunes to its own prefix partitions — at <base>/srp_bands
+    (similarity.incremental_srp_band_pairs — new-vs-committed and
+    new-vs-new only, the corpus is never re-encoded or re-paired).
+    Newcomers with cosine >= 0.99 of an indexed doc — or keep-first losers
+    within the batch's own clusters — flip to excl_type='emb_near_dup'
+    before the commit. Same reconciliation gate, commit ordering, and compact()/gc()
     lifecycle as the minhash sidecar; composes with near_dedup=True
     (minhash flips land first, the embedding pass sees only survivors).
     The index is BANDED (srp_bands bucket keys per doc, each from a
