@@ -332,7 +332,11 @@ def incremental_srp_pairs(
     NEW endpoint — new-vs-committed and new-vs-new, never committed-vs-
     committed (mirror of dedup.incremental_minhash_pairs; at 10^12 vectors
     re-pairing the corpus per batch is the non-starter). Inputs are
-    srp_index frames built with the same num_planes.
+    srp_index frames built with the same num_planes. This single-bucket
+    formulation is the ORACLE-PARITY surface (the incremental_srp_pairs
+    gate replays it in SQL); the pipeline sidecar uses the banded + numpy
+    incremental_srp_band_pairs below, whose collision/cost behavior at
+    scale is measured in BASELINE.md.
 
     Plan shape: the committed side semi-joins against only the BATCH's
     bucket keys (so a bucket-partitioned committed index prunes files);
@@ -434,8 +438,12 @@ def incremental_srp_band_pairs(
     (num_planes, num_bands). Plan shape: the committed band side
     semi-joins against only the BATCH's (band, bucket) keys, multi-band
     duplicate candidates collapse BEFORE the vectors rejoin, and exact
-    cosine verifies only surviving candidates. Returns (id_a, id_b,
-    cos_sim, committed_side)."""
+    cosine verifies only surviving candidates. max_bucket exists for
+    ANN-style uses; the near-dedup sidecar deliberately does NOT set it —
+    the hottest band buckets hold exactly the most-duplicated content,
+    which is what near-dedup must not skip (cost there is genuine work,
+    bounded per batch by the new side). Returns (id_a, id_b, cos_sim,
+    committed_side)."""
     nb = new_bands.select("id", "band", "bucket").withColumn("_new", F.lit(True))
     b = nb
     if committed_bands is not None:
