@@ -287,6 +287,41 @@ def main() -> None:
             len(got & truth_pairs) / len(truth_pairs), 4
         )
 
+    # --- incremental embedding near-dedup: the banded-SRP sidecar's
+    # per-batch cost, visible per round (the measured-and-fixed growth
+    # story in BASELINE.md). Batch 2 ingests against batch 1's committed
+    # index — the incremental path, not the cold-start one. Runs on the
+    # MAIN session: a second in-process SparkContext would re-trigger the
+    # sequential-context accumulator storm (see _run_leg_subprocess) ---
+    from puddin_spark.snapshots import SnapshotStore, run_resumable_pipeline
+    from puddin_spark.synth import synth_pages as _synth
+
+    emb_dir = tempfile.mkdtemp(prefix="bench_embnd_")
+    b1 = _synth(spark, 12_000, parts=CPUS)
+    _synth(spark, 24_000, parts=CPUS).subtract(b1).write.mode(
+        "overwrite"
+    ).parquet(f"{emb_dir}/b2")
+    emb_store = SnapshotStore(f"{emb_dir}/v")
+    run_resumable_pipeline(
+        spark, b1, emb_store, num_partitions=32, embedding_near_dedup=True
+    )
+    t0 = time.perf_counter()
+    run_resumable_pipeline(
+        spark,
+        spark.read.parquet(f"{emb_dir}/b2"),
+        emb_store,
+        num_partitions=32,
+        embedding_near_dedup=True,
+    )
+    emb_nd = {
+        "incremental_batch_sec": round(time.perf_counter() - t0, 3),
+        "batch_docs": 12_000,
+        "emb_near_dup_flips": emb_store.read(spark)
+        .filter("excl_type = 'emb_near_dup'")
+        .count(),
+    }
+    shutil.rmtree(emb_dir, ignore_errors=True)
+
     # corpus sizes + the skew corpus while the main session is still up —
     # after spark.stop() this process creates NO further contexts (see
     # _run_leg_subprocess for why)
@@ -463,6 +498,7 @@ def main() -> None:
                 "sf": SF,
                 "keepdrop_f1_vs_reference": keepdrop,
                 "ann_ivf_recall": ann_recall,
+                "embedding_near_dedup": emb_nd,
                 "pipeline": pipeline,
             }
         )
