@@ -205,11 +205,12 @@ def cmd_overview(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    """Store maintenance: compact + gc the verdict store AND its near-dedup
-    sidecars (minhash_index, minhash_bands, srp_index) — the Iceberg
-    rewrite_data_files + expire_snapshots lifecycle. Long-lived incremental
-    runs accumulate one snapshot per batch in all three stores; this resets
-    read/commit cost to O(1). partition specs are preserved by compact()."""
+    """Store maintenance: compact + gc the verdict store AND its four
+    near-dedup sidecars (minhash_index, minhash_bands, srp_index,
+    srp_bands) — the Iceberg rewrite_data_files + expire_snapshots
+    lifecycle. Long-lived incremental runs accumulate one snapshot per
+    batch in all five stores; this resets read/commit cost to O(1).
+    partition specs are preserved by compact()."""
     from puddin_spark.session import get_spark
     from puddin_spark.snapshots import SnapshotStore
 

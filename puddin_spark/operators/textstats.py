@@ -130,6 +130,29 @@ def apply_quality_gate(
     return out.select(*keep_cols)  # original column order
 
 
+def toxicity_pattern() -> str:
+    """Word-boundary alternation over rules.TOXICITY_WORDS with every word
+    re.escape'd — the lexicon is documented as swap-per-policy, so a word
+    carrying a regex metacharacter must match literally rather than break
+    (or reinterpret) the pattern. Shared by the scorer and the gate; pass
+    it to regexp_extract_all via the COLUMN form (F.lit), never splice it
+    into an F.expr string literal, so no quoting/injection surface exists."""
+    import re as _re
+
+    from puddin_spark.rules import TOXICITY_WORDS
+
+    return r"\b(" + "|".join(_re.escape(w) for w in TOXICITY_WORDS) + r")\b"
+
+
+def _toxicity_hits_col(text_col: str):
+    """size(regexp_extract_all(lower(text), <escaped lexicon>)) — column
+    form keeps the pattern out of SQL-literal space (ADVICE r4: a quote in
+    a swapped lexicon was expression injection under the old F.expr path)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(toxicity_pattern()), F.lit(0))
+    )
+
+
 def toxicity_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach per-document toxicity signals: `tox_hits` (count of
     wordlist matches, rules.TOXICITY_WORDS — the same frozen lexicon the
@@ -137,12 +160,7 @@ def toxicity_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     codegen (regexp_extract_all + size), mechanical DuckDB twin; the
     SCORING side of the north rule's toxicity-scrub axis — score to gate
     documents, mask (rules.scrub_pii) to clean the survivors."""
-    from puddin_spark.rules import TOXICITY_WORDS
-
-    # \\b in the SQL literal: a single backslash would parse as the
-    # backspace escape inside Spark's string literal
-    pat = r"\\b(" + "|".join(TOXICITY_WORDS) + r")\\b"
-    hits = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
+    hits = _toxicity_hits_col(text_col)
     return df.withColumn("tox_hits", hits).withColumn(
         "tox_ratio",
         F.round(
@@ -161,10 +179,7 @@ def apply_toxicity_gate(
     `max_ratio` flip to keep=false with excl_type='toxic' (clean_text
     nulled per the verdict contract). Pure codegen projection — no
     shuffle, no Python."""
-    from puddin_spark.rules import TOXICITY_WORDS
-
-    pat = r"\\b(" + "|".join(TOXICITY_WORDS) + r")\\b"
-    hits = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
+    hits = _toxicity_hits_col(text_col)
     ratio = F.round(
         hits / F.greatest(token_count_col(text_col), F.lit(1)), 6
     )

@@ -541,7 +541,7 @@ def run_resumable_pipeline(
     after record_failures/rollback), landed as a base commit so the repair
     runs once; the band cache rebuilds from the index by projection. Both
     sidecars share the verdict store's compact()/gc() lifecycle (CLI
-    `compact` runs all three).
+    `compact` runs the verdict store plus all four sidecars).
 
     embedding_near_dedup=True is the EMBEDDING-space analog: each batch's
     kept docs are encoded (models.doc_embedding_udf — the
@@ -711,6 +711,19 @@ def _id_set_stats(df, col: str) -> tuple[int, int]:
     return row.n, row.fp if row.fp is not None else 0
 
 
+def _heal_stale_sidecar(idx_store: "SnapshotStore", committed_idx):
+    """Guard for a sidecar index that outlived its verdict store (the store
+    was wiped/recreated but `<verdicts>/minhash_index` or `srp_index`
+    survived): the corpus is EMPTY, so deduping a first batch against the
+    leftover index would silently drop newcomers as near-dups of documents
+    that are not in the corpus. Prune the index to empty as a base commit
+    (self-heal, consistent with the (count, xor) reconciliation philosophy)
+    and proceed as a true first run. Returns the healed index (None)."""
+    if committed_idx is not None:
+        idx_store.commit(committed_idx.limit(0), base=True)
+    return None
+
+
 def _apply_near_dedup(spark, store, verdicts, committed):
     """Flip near-dup newcomers to keep=false/excl_type='near_dup'; return
     (updated_verdicts, index_of_survivors, index_store, bands_store). See
@@ -726,6 +739,8 @@ def _apply_near_dedup(spark, store, verdicts, committed):
     idx_store = SnapshotStore(store.base / "minhash_index")
     bands_store = SnapshotStore(store.base / "minhash_bands")
     committed_idx = idx_store.read(spark)
+    if committed is None:
+        committed_idx = _heal_stale_sidecar(idx_store, committed_idx)
     if committed is not None:
         # index<->corpus reconciliation, gated by cheap (count, xor-of-ids)
         # aggregates on both sides. BOTH directions repair here, landed as a
@@ -878,8 +893,8 @@ def _srp_meta(
     persisted config raise (band keys are only comparable at one
     configuration)."""
     meta_path = store_base / "_meta.json"
-    if meta_path.exists():
-        meta = json.loads(meta_path.read_text())
+
+    def _validate(meta: dict) -> tuple[int, int]:
         p = meta["num_planes"]
         b = meta.get("num_bands", _SRP_ND_BANDS_DEFAULT)
         for name, got, want in (("num_planes", planes, p), ("num_bands", bands, b)):
@@ -890,10 +905,23 @@ def _srp_meta(
                     "(reconciliation re-encodes committed docs)."
                 )
         return p, b
+
+    if meta_path.exists():
+        return _validate(json.loads(meta_path.read_text()))
     p = planes if planes is not None else _SRP_ND_PLANES_DEFAULT
     b = bands if bands is not None else _SRP_ND_BANDS_DEFAULT
     store_base.mkdir(parents=True, exist_ok=True)
-    meta_path.write_text(json.dumps({"num_planes": p, "num_bands": b}))
+    # link(2) first-writer-wins, mirroring the commit protocol: two
+    # concurrent first runs with different configs must not each proceed
+    # under their own — the loser re-reads and validates against the winner
+    tmp = store_base / f"._meta.{uuid.uuid4().hex[:8]}.json.tmp"
+    tmp.write_text(json.dumps({"num_planes": p, "num_bands": b}))
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        tmp.unlink()
+        return _validate(json.loads(meta_path.read_text()))
+    tmp.unlink()
     return p, b
 
 
@@ -948,6 +976,8 @@ def _apply_embedding_near_dedup(
     srp_bands_store = SnapshotStore(store.base / "srp_bands")
     num_planes, num_bands = _srp_meta(srp_store.base, planes, bands)
     committed_idx = srp_store.read(spark)
+    if committed is None:
+        committed_idx = _heal_stale_sidecar(srp_store, committed_idx)
     if committed is not None:
         # index<->corpus reconciliation (same shape as minhash: stale
         # entries pruned, crash-lag entries re-encoded from committed

@@ -41,6 +41,8 @@ def run_streaming_pipeline(
     available_now: bool = True,
     near_dedup: bool = False,
     embedding_near_dedup: bool = False,
+    srp_planes: int | None = None,
+    srp_bands: int | None = None,
     html_fallback: bool = False,
 ):
     """Continuous ingestion: each micro-batch runs the batch pipeline body
@@ -48,13 +50,18 @@ def run_streaming_pipeline(
     near_dedup extends the replay-idempotence contract to fuzzy twins:
     every micro-batch dedups against the minhash index of all prior
     batches; embedding_near_dedup is the embedding-space analog over the
-    SRP index sidecar (see run_resumable_pipeline for both)."""
+    SRP index sidecar (see run_resumable_pipeline for both).
+    srp_planes/srp_bands thread through to the sidecar's persisted
+    _meta.json exactly as in the batch path — without them the FIRST
+    micro-batch would silently pin the defaults for the store's lifetime."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_resumable_pipeline(
             spark, batch_df, store, num_partitions=num_partitions,
             near_dedup=near_dedup,
             embedding_near_dedup=embedding_near_dedup,
+            srp_planes=srp_planes,
+            srp_bands=srp_bands,
             html_fallback=html_fallback,
         )
 

@@ -431,3 +431,30 @@ def test_apply_toxicity_gate_composes_with_verdicts(spark):
     plan_tail = executed_plan(gated).split("InMemoryTableScan")[0]
     assert "Exchange" not in plan_tail
     assert "EvalPython" not in plan_tail
+
+
+def test_toxicity_lexicon_metacharacters_safe(spark, monkeypatch):
+    """The toxicity lexicon is swap-per-policy: a swapped word carrying a
+    regex metacharacter or a quote must match LITERALLY, not break (or
+    inject into) the expression (ADVICE r4 — the old F.expr splice made a
+    single quote an injection). toxicity_pattern re.escapes each word and
+    the scorer passes it via the column form, never a SQL literal."""
+    from puddin_spark import rules
+    from puddin_spark.operators import textstats
+
+    monkeypatch.setattr(rules, "TOXICITY_WORDS", ("don't", "a.b", "x(y"))
+    df = spark.createDataFrame(
+        [
+            ("d1", "please don't say a.b or axb here"),
+            ("d2", "nothing to see"),
+            ("d3", "literal x(y appears once'); drop table docs; --"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: r.tox_hits
+        for r in textstats.toxicity_columns(df, "text").collect()
+    }
+    # a.b matches only literally (axb does NOT), quotes never escape the
+    # pattern, and the paren word compiles instead of breaking the regex
+    assert got == {"d1": 2, "d2": 0, "d3": 1}

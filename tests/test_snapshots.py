@@ -472,3 +472,41 @@ def test_file_skipping_stats_survive_compact_and_mixed_commits(spark, tmp_path):
     pr = store.read_where(spark, "k", 2500, 2599)
     assert pr.count() == 100
     assert len(set(pr.inputFiles())) < len(set(store.read(spark).inputFiles()))
+
+
+def test_srp_meta_first_write_race(tmp_path, monkeypatch):
+    """Two concurrent FIRST runs racing to create the srp sidecar's
+    _meta.json must resolve through the same link(2) first-writer-wins
+    protocol as commits (ADVICE r4: a bare write_text let both proceed
+    under their own config). The loser re-reads the winner's file: a
+    conflicting config raises, a matching one adopts it quietly."""
+    import json
+    import os
+
+    import pytest
+
+    from puddin_spark import snapshots as S
+
+    base = tmp_path / "srp_index"
+    base.mkdir()
+    real_link = os.link
+
+    def racing_link(src, dst, *a, **kw):
+        # the "other writer" lands first, then our link hits EEXIST
+        if not os.path.exists(dst):
+            (base / "_meta.json").write_text(
+                json.dumps({"num_planes": 32, "num_bands": 4})
+            )
+        real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(S.os, "link", racing_link)
+    with pytest.raises(ValueError, match="num_planes"):
+        S._srp_meta(base, 16, 8)
+    # no tmp litter from the losing writer
+    assert not list(base.glob("._meta.*.tmp"))
+    # loser whose requested config MATCHES the winner proceeds
+    assert S._srp_meta(base, 32, 4) == (32, 4)
+    # and a loser passing no explicit config adopts the winner's
+    (base / "_meta.json").unlink()
+    monkeypatch.setattr(S.os, "link", racing_link)
+    assert S._srp_meta(base, None, None) == (32, 4)

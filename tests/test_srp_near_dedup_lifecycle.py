@@ -288,3 +288,41 @@ def test_numpy_band_buckets_match_sql_formulation(spark):
         ).collect()
     }
     assert np_rows == sql_rows
+
+
+def test_stale_sidecar_over_wiped_store_heals(spark, tmp_path):
+    """A sidecar index that outlived its verdict store (store wiped, e.g.
+    recreated under the same path; `srp_index`/`minhash_index` left behind)
+    must NOT dedup the next first batch against documents absent from the
+    corpus — without the heal every doc re-ingested after the wipe would be
+    dropped as a near-dup of its own ghost (ADVICE r4). The appliers prune
+    the leftover index to empty as a base commit and proceed as a true
+    first run."""
+    store = SnapshotStore(tmp_path / "v")
+    pages = synth_pages_local(spark, 30).cache()
+    snap0, n0 = run_resumable_pipeline(
+        spark, pages, store, num_partitions=2,
+        near_dedup=True, embedding_near_dedup=True,
+    )
+    assert n0 > 0
+    kept0 = store.read(spark).filter("keep").count()
+    assert kept0 > 0
+
+    # wipe the VERDICT commit log only — both sidecars survive in place
+    for rec in (store.base / "_commits").glob("*.json"):
+        rec.unlink()
+    store2 = SnapshotStore(tmp_path / "v")
+    assert store2.read(spark) is None  # corpus is now empty
+
+    snap1, n1 = run_resumable_pipeline(
+        spark, pages, store2, num_partitions=2,
+        near_dedup=True, embedding_near_dedup=True,
+    )
+    v = store2.read(spark)
+    # identical to a clean first run: nothing flips against the ghosts
+    assert v.filter("excl_type in ('near_dup', 'emb_near_dup')").count() == 0
+    assert v.filter("keep").count() == kept0
+    # and both sidecar indexes were rebuilt to exactly the new kept set
+    for name in ("srp_index", "minhash_index"):
+        idx = SnapshotStore(store2.base / name).read(spark)
+        assert idx.select("id").distinct().count() == kept0

@@ -234,7 +234,14 @@ def test_streaming_embedding_near_dedup(spark, tmp_path):
     """Streaming ingestion with embedding_near_dedup: a later drop's
     word-order-permuted twin of an earlier micro-batch's doc (same bag of
     words -> cosine exactly 1.0; invisible to sha and shingle dedup) is
-    excluded as emb_near_dup through the SRP index sidecar."""
+    excluded as emb_near_dup through the SRP index sidecar. The first run
+    passes NON-default srp_planes/srp_bands to pin that the streaming entry
+    threads them through to the sidecar's persisted _meta.json (ADVICE r4:
+    without the passthrough the first micro-batch silently froze the
+    defaults for the store's lifetime); the second run omits them and must
+    adopt the persisted config."""
+    import json
+
     from pyspark.sql import functions as F
 
     from puddin_spark.synth import synth_pages_local
@@ -246,9 +253,11 @@ def test_streaming_embedding_near_dedup(spark, tmp_path):
     store = SnapshotStore(tmp_path / "store")
     q = run_streaming_pipeline(
         spark, str(d), store, str(tmp_path / "ck"), num_partitions=2,
-        embedding_near_dedup=True,
+        embedding_near_dedup=True, srp_planes=8, srp_bands=4,
     )
     q.awaitTermination(300)
+    meta = json.loads((store.base / "srp_index" / "_meta.json").read_text())
+    assert meta == {"num_planes": 8, "num_bands": 4}
 
     src = store.read(spark).filter("keep").limit(1).collect()[0]
     twin = spark.createDataFrame(
