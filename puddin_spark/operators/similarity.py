@@ -497,6 +497,129 @@ def incremental_srp_band_pairs(
     )
 
 
+def committed_srp_flip_ids(
+    new_index: DataFrame,
+    new_bands: DataFrame,
+    committed_index: DataFrame,
+    committed_bands: DataFrame,
+    *,
+    min_cos: float,
+    probe: int = 8,
+) -> DataFrame:
+    """Newcomer ids with >= 1 committed near-twin (cosine >= min_cos) — the
+    vs-COMMITTED half of the incremental near-dedup decision, restructured
+    for early exit. The flip needs only ONE qualifying hit per newcomer,
+    but full pair enumeration (incremental_srp_band_pairs) verifies every
+    committed member of every shared (band, bucket) key: on
+    boilerplate-heavy corpora the hottest committed buckets grow with the
+    corpus, so the vs-committed cost grew linearly while doing no useful
+    work after the first hit (VERDICT r4's one perf-weak flag; measured
+    16→25 s per fixed-size batch over 6 batches, BASELINE.md).
+
+    Two phases, EXACTLY equivalent to full enumeration:
+    - rank each newcomer's committed candidates by shared-band count
+      descending (a cos>=0.99 twin collides in ~half the 16-plane bands,
+      a cos~0.9 near-miss in <1 on average — the count is a free
+      similarity proxy already paid for by the candidate join) and verify
+      only the top `probe` per newcomer;
+    - newcomers still unresolved AND holding >probe candidates verify the
+      remainder. Every candidate pair is verified unless its newcomer
+      already flipped — so the flip set is identical to the uncapped path
+      (pinned by pytest), while phase-A vector-join cost is bounded by
+      probe * |batch| regardless of committed bucket occupancy.
+
+    new-vs-new pairs are NOT this function's job: cluster resolution needs
+    full pair enumeration (run incremental_srp_band_pairs with no committed
+    side). Inputs are (id, v) index frames and srp_band_table band frames;
+    committed_bands should already be pruned to the batch's bucket
+    prefixes. Returns a single-column (new_id) DataFrame, eagerly
+    materialized via localCheckpoint (caller frees with
+    free_local_checkpoints once its drop set is materialized)."""
+    new_keys = new_bands.select("band", "bucket").distinct()
+    com = (
+        committed_bands.select(F.col("id").alias("com_id"), "band", "bucket")
+        .join(new_keys, ["band", "bucket"], "left_semi")
+    )
+    # ONE wide shuffle, same key as the full path's candidate dedup — but
+    # aggregating the shared-band COUNT instead of just distinct
+    cand = (
+        new_bands.select(F.col("id").alias("new_id"), "band", "bucket")
+        .join(com, ["band", "bucket"])
+        .groupBy("new_id", "com_id")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("_nb"), "com_id")
+    ranked = cand.select(
+        "new_id", "com_id", F.row_number().over(w).alias("_rk")
+    ).persist()
+
+    new_vecs = new_index.select(F.col("id").alias("new_id"), F.col("v").alias("_va"))
+    com_vecs = committed_index.select(
+        F.col("id").alias("com_id"), F.col("v").alias("_vb")
+    )
+
+    def _verify(c: DataFrame) -> DataFrame:
+        return (
+            c.join(new_vecs, "new_id")
+            .join(com_vecs, "com_id")
+            .withColumn("_cos", cosine_pairs_udf()(F.col("_va"), F.col("_vb")))
+            .filter(F.col("_cos") >= min_cos)
+            .select("new_id")
+            .distinct()
+        )
+
+    hits = _verify(ranked.filter(F.col("_rk") <= probe)).localCheckpoint()
+    rest = ranked.filter(F.col("_rk") > probe).join(hits, "new_id", "left_anti")
+    if not rest.isEmpty():
+        hits = hits.unionByName(_verify(rest)).distinct().localCheckpoint()
+    ranked.unpersist()
+    return hits
+
+
+def band_occupancy(
+    bands: DataFrame,
+    committed_bands: DataFrame | None,
+    *,
+    band_col: str = "band",
+    bucket_col: str = "bucket",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-K hottest (band, bucket) keys a batch touches, split into new vs
+    committed membership — the no-silent-caps telemetry for LSH degeneracy
+    (VERDICT r4 item 5): `max_bucket` silently excludes degenerate buckets
+    on the capped paths, and the deliberately-UNCAPPED near-dedup sidecars
+    had no visibility into committed bucket growth. One slim groupBy over
+    band rows already in hand; commit the result as the band-table
+    snapshot's LINEAGE so occupancy history rides the store and the bench
+    can surface the per-round trend. Returns (band, bucket, n_new,
+    n_committed, n_total) ordered hottest-first."""
+    b = bands.select(
+        F.col(band_col).alias("band"),
+        F.col(bucket_col).alias("bucket"),
+        F.lit(1).alias("_new"),
+        F.lit(0).alias("_com"),
+    )
+    if committed_bands is not None:
+        b = b.unionByName(
+            committed_bands.select(
+                F.col(band_col).alias("band"),
+                F.col(bucket_col).alias("bucket"),
+                F.lit(0).alias("_new"),
+                F.lit(1).alias("_com"),
+            )
+        )
+    return (
+        b.groupBy("band", "bucket")
+        .agg(
+            F.sum("_new").cast("long").alias("n_new"),
+            F.sum("_com").cast("long").alias("n_committed"),
+        )
+        .withColumn("n_total", F.col("n_new") + F.col("n_committed"))
+        .orderBy(F.desc("n_total"), "band", "bucket")
+        .limit(top_k)
+    )
+
+
 def cosine_pairs_udf():
     """Factory for a batch-cosine pandas UDF over aligned vector pairs
     (row-wise einsum over the whole Arrow batch; ~1000x the interpreted

@@ -622,13 +622,15 @@ def run_resumable_pipeline(
             return -1, 0
         idx_store = bands_store = srp_store = srp_bands_store = None
         new_srp_idx = new_srp_bands = None
+        mh_occupancy = srp_occupancy = None
         if near_dedup:
-            verdicts, new_idx, idx_store, bands_store = _apply_near_dedup(
-                spark, store, verdicts, committed
+            verdicts, new_idx, idx_store, bands_store, mh_occupancy = (
+                _apply_near_dedup(spark, store, verdicts, committed)
             )
         if embedding_near_dedup:
             (
-                verdicts, new_srp_idx, new_srp_bands, srp_store, srp_bands_store,
+                verdicts, new_srp_idx, new_srp_bands, srp_store,
+                srp_bands_store, srp_occupancy,
             ) = _apply_embedding_near_dedup(
                 spark, store, verdicts, committed,
                 planes=srp_planes, bands=srp_bands,
@@ -664,14 +666,22 @@ def run_resumable_pipeline(
                     "left_semi",
                 )
             idx_store.commit(new_idx)
+            # bands carry the batch's hot-bucket occupancy as LINEAGE — the
+            # no-silent-caps telemetry for LSH degeneracy (band_occupancy)
             bands_store.commit(
-                band_table(new_idx, **_ND_BAND_KW), partition_by=["band_pfx"]
+                band_table(new_idx, **_ND_BAND_KW),
+                lineage=mh_occupancy,
+                partition_by=["band_pfx"],
             )
         if embedding_near_dedup and new_srp_idx is not None:
             # index first, derived band cache last (a crash between the two
             # commits is caught by the bands row-count gate next batch)
             srp_store.commit(new_srp_idx)
-            srp_bands_store.commit(new_srp_bands, partition_by=["bucket_pfx"])
+            srp_bands_store.commit(
+                new_srp_bands,
+                lineage=srp_occupancy,
+                partition_by=["bucket_pfx"],
+            )
         if near_dedup or embedding_near_dedup:
             # ALL sidecar readers are committed — only now release the
             # batch's signature checkpoints and the drop-set checkpoint
@@ -726,8 +736,10 @@ def _heal_stale_sidecar(idx_store: "SnapshotStore", committed_idx):
 
 def _apply_near_dedup(spark, store, verdicts, committed):
     """Flip near-dup newcomers to keep=false/excl_type='near_dup'; return
-    (updated_verdicts, index_of_survivors, index_store, bands_store). See
-    run_resumable_pipeline(near_dedup=True)."""
+    (updated_verdicts, index_of_survivors, index_store, bands_store,
+    occupancy) — occupancy is the batch's top-K hottest (band, bucket)
+    telemetry (similarity.band_occupancy), committed as the minhash_bands
+    snapshot's lineage. See run_resumable_pipeline(near_dedup=True)."""
     from puddin_spark.operators.dedup import (
         band_table,
         free_local_checkpoints,
@@ -810,6 +822,11 @@ def _apply_near_dedup(spark, store, verdicts, committed):
         # batch, not the corpus
         pfx = [r[0] for r in new_bands.select("band_pfx").distinct().collect()]
         committed_bands = committed_bands.filter(F.col("band_pfx").isin(pfx))
+    from puddin_spark.operators.similarity import band_occupancy
+
+    occupancy = band_occupancy(
+        new_bands, committed_bands, band_col="band_ix", bucket_col="band_key"
+    )
     pairs = incremental_minhash_pairs(
         new_idx,
         committed_idx,
@@ -859,7 +876,7 @@ def _apply_near_dedup(spark, store, verdicts, committed):
     survivors_idx = new_idx.join(
         drops.select(F.col("doc_id").alias("id")), "id", "left_anti"
     )
-    return updated, survivors_idx, idx_store, bands_store
+    return updated, survivors_idx, idx_store, bands_store, occupancy
 
 
 # embedding near-dedup sidecar parameters. Banded SRP: num_bands bucket
@@ -878,6 +895,12 @@ def _apply_near_dedup(spark, store, verdicts, committed):
 _SRP_ND_PLANES_DEFAULT = 16
 _SRP_ND_BANDS_DEFAULT = 8
 _SRP_ND_MIN_COS = 0.99
+# vs-committed flip verification: candidates verified per newcomer in
+# phase A of committed_srp_flip_ids (shared-band-count order). A true
+# >= 0.99 twin collides in ~half the bands (expected rank 1-2); 8 gives
+# wide margin while bounding phase-A cost at probe * |batch| — phase B
+# preserves exactness for the tail.
+_SRP_ND_PROBE = 8
 # bucket -> 16 'pX' directory partitions, FIXED cardinality regardless of
 # num_planes (mod, not div: div 16 explodes to 2^(planes-4) dirs at high
 # planes). Letter prefix: a bare hex digit would partition-type-infer as
@@ -960,17 +983,30 @@ def _apply_embedding_near_dedup(
 ):
     """Flip embedding near-dup newcomers to keep=false /
     excl_type='emb_near_dup'; return (updated_verdicts, index_of_survivors,
-    survivor_bands, srp_store, srp_bands_store). Mirrors _apply_near_dedup:
-    the same (count, xor-of-ids) reconciliation gate on the index, a
-    row-count gate on the derived band cache, band-prefix partition
-    pruning for the committed-side scan, and the commit ordering in
-    run_resumable_pipeline's docstring. (planes, bands) resolve against
-    the sidecar's persisted _meta.json (_srp_meta)."""
+    survivor_bands, srp_store, srp_bands_store, occupancy). Mirrors
+    _apply_near_dedup: the same (count, xor-of-ids) reconciliation gate on
+    the index, a row-count gate on the derived band cache, band-prefix
+    partition pruning for the committed-side scan, and the commit ordering
+    in run_resumable_pipeline's docstring. (planes, bands) resolve against
+    the sidecar's persisted _meta.json (_srp_meta).
+
+    The vs-COMMITTED flip runs through committed_srp_flip_ids (two-phase,
+    first-hit early exit — flip-set-identical to full enumeration but with
+    phase-A cost bounded by probe * |batch| instead of committed bucket
+    occupancy); full pair enumeration remains only where cluster
+    resolution genuinely needs it: new-vs-new. `occupancy` is the top-K
+    hottest (band, bucket) telemetry for this batch (new + pruned
+    committed membership) — committed as the srp_bands snapshot's lineage
+    so uncapped-bucket growth is observable per batch."""
     from puddin_spark.operators.dedup import (
         free_local_checkpoints,
         resolve_duplicate_clusters,
     )
-    from puddin_spark.operators.similarity import incremental_srp_band_pairs
+    from puddin_spark.operators.similarity import (
+        band_occupancy,
+        committed_srp_flip_ids,
+        incremental_srp_band_pairs,
+    )
 
     srp_store = SnapshotStore(store.base / "srp_index")
     srp_bands_store = SnapshotStore(store.base / "srp_bands")
@@ -1040,22 +1076,27 @@ def _apply_embedding_near_dedup(
         # incremental_srp_band_pairs then semi-joins exact (band, bucket)
         pfx = [r[0] for r in new_bands.select("bucket_pfx").distinct().collect()]
         committed_bands = committed_bands.filter(F.col("bucket_pfx").isin(pfx))
-    pairs = incremental_srp_band_pairs(
-        new_idx, new_bands, committed_idx, committed_bands,
-        min_cos=_SRP_ND_MIN_COS,
-    ).persist()
-    new_ids = kept.select(F.col("doc_id").alias("id"))
-    vs_committed = pairs.filter("committed_side")
-    drops = (
-        vs_committed.join(new_ids, vs_committed.id_a == new_ids.id, "left_semi")
-        .select(F.col("id_a").alias("doc_id"))
-        .unionByName(
-            vs_committed.join(
-                new_ids, vs_committed.id_b == new_ids.id, "left_semi"
-            ).select(F.col("id_b").alias("doc_id"))
+    occupancy = band_occupancy(new_bands, committed_bands)
+    flips = None
+    if committed_idx is not None:
+        # vs-committed: first-hit early exit (the flip needs ONE >= min_cos
+        # committed twin; enumerating every committed bucket member grew
+        # per-batch cost with corpus-side occupancy — VERDICT r4)
+        flips = committed_srp_flip_ids(
+            new_idx, new_bands, committed_idx, committed_bands,
+            min_cos=_SRP_ND_MIN_COS, probe=_SRP_ND_PROBE,
         )
+    # new-vs-new keeps FULL pair enumeration: cluster resolution needs the
+    # whole edge set, not an existence bit
+    pairs = incremental_srp_band_pairs(
+        new_idx, new_bands, None, None, min_cos=_SRP_ND_MIN_COS
+    ).persist()
+    drops = (
+        flips.select(F.col("new_id").alias("doc_id"))
+        if flips is not None
+        else kept.select("doc_id").limit(0)
     )
-    new_new = pairs.filter("not committed_side").select("id_a", "id_b")
+    new_new = pairs.select("id_a", "id_b")
     clusters = None
     if not new_new.isEmpty():
         clusters = resolve_duplicate_clusters(new_new)
@@ -1064,6 +1105,8 @@ def _apply_embedding_near_dedup(
         )
     drops = drops.distinct().localCheckpoint()
     pairs.unpersist()
+    if flips is not None:
+        free_local_checkpoints(flips)
     if clusters is not None:
         free_local_checkpoints(clusters)
     drops = drops.withColumn("_ed", F.lit(True))
@@ -1087,4 +1130,7 @@ def _apply_embedding_near_dedup(
     survivor_bands = new_bands.join(
         drops.select(F.col("doc_id").alias("id")), "id", "left_anti"
     )
-    return updated, survivors_idx, survivor_bands, srp_store, srp_bands_store
+    return (
+        updated, survivors_idx, survivor_bands, srp_store, srp_bands_store,
+        occupancy,
+    )

@@ -718,3 +718,112 @@ def test_canonicalize_and_extract_are_idempotent(spark):
     e1 = extract_text_from_html("h")
     e2 = extract_text_from_html(extract_text_from_html("h"))
     assert pages.filter(e1 != e2).count() == 0
+
+
+def _srp_test_corpus(spark):
+    """(new_index, new_bands, committed_index, committed_bands) with
+    engineered structure: committed template clusters (so newcomers have
+    MANY committed candidates), newcomer exact/near twins above the 0.99
+    bar, near-misses just below it, and randoms. Vectors are deterministic
+    numpy; bands via the SQL srp_band_table (the sidecar's committed
+    layout's formulation)."""
+    import numpy as np
+
+    from puddin_spark.operators.similarity import srp_band_table
+
+    rng = np.random.RandomState(77)
+    templates = rng.randn(6, 64)
+    templates /= np.linalg.norm(templates, axis=1, keepdims=True)
+
+    def near(t, cos):
+        # deterministic vector at ~the requested cosine from t
+        n = rng.randn(64)
+        n -= n.dot(t) * t
+        n /= np.linalg.norm(n)
+        v = cos * t + np.sqrt(max(1 - cos * cos, 0.0)) * n
+        return v / np.linalg.norm(v)
+
+    committed = []
+    for ti, t in enumerate(templates):
+        committed.append((f"c{ti}_base", t))
+        # a committed cluster: members 0.991-0.999 of the template — hot
+        # shared buckets, many >= 0.99 of each other
+        for j in range(8):
+            committed.append((f"c{ti}_m{j}", near(t, 0.991 + 0.001 * j)))
+    new = []
+    for ti, t in enumerate(templates[:4]):
+        new.append((f"n{ti}_twin", near(t, 0.995)))   # must flip
+        new.append((f"n{ti}_miss", near(t, 0.94)))    # candidates, no flip
+    for i in range(6):
+        v = rng.randn(64)
+        new.append((f"n_rand{i}", v / np.linalg.norm(v)))  # no candidates
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "id string, v array<double>",
+        )
+
+    new_idx, com_idx = frame(new), frame(committed)
+    return (
+        new_idx,
+        srp_band_table(new_idx, num_planes=16, num_bands=8),
+        com_idx,
+        srp_band_table(com_idx, num_planes=16, num_bands=8),
+    )
+
+
+def test_committed_flip_ids_match_full_enumeration(spark):
+    """committed_srp_flip_ids (two-phase, first-hit early exit) must flip
+    EXACTLY the set full pair enumeration flips — at every probe size:
+    probe=0 routes everything through phase B, probe=2 exercises the
+    mixed path (template clusters give newcomers > 2 committed
+    candidates), probe=10^6 is pure phase A. VERDICT r5 item 1's 'flip set
+    identical to the uncapped path' pin."""
+    from puddin_spark.operators.similarity import (
+        committed_srp_flip_ids,
+        incremental_srp_band_pairs,
+    )
+
+    new_idx, new_bands, com_idx, com_bands = _srp_test_corpus(spark)
+    full = incremental_srp_band_pairs(
+        new_idx, new_bands, com_idx, com_bands, min_cos=0.99
+    )
+    new_ids = {r.id for r in new_idx.select("id").collect()}
+    want = set()
+    for r in full.filter("committed_side").collect():
+        want.add(r.id_a if r.id_a in new_ids else r.id_b)
+    assert want, "corpus must produce committed-side flips"
+    # and some newcomers must have candidates but NO hit (phase-B tails)
+    cand_ids = {
+        r.id for r in new_bands.join(
+            com_bands.select("band", "bucket").distinct(), ["band", "bucket"]
+        ).select("id").distinct().collect()
+    }
+    assert cand_ids - want, "corpus must produce no-hit candidate tails"
+
+    for probe in (0, 2, 10**6):
+        got = {
+            r.new_id
+            for r in committed_srp_flip_ids(
+                new_idx, new_bands, com_idx, com_bands,
+                min_cos=0.99, probe=probe,
+            ).collect()
+        }
+        assert got == want, f"probe={probe}: {got ^ want}"
+
+
+def test_band_occupancy_telemetry(spark):
+    """band_occupancy: hottest-first, new/committed split sums to total,
+    top_k bounded."""
+    from puddin_spark.operators.similarity import band_occupancy
+
+    new_idx, new_bands, com_idx, com_bands = _srp_test_corpus(spark)
+    occ = band_occupancy(new_bands, com_bands, top_k=5).collect()
+    assert 0 < len(occ) <= 5
+    totals = [r.n_total for r in occ]
+    assert totals == sorted(totals, reverse=True)
+    for r in occ:
+        assert r.n_total == r.n_new + r.n_committed
+    # template clusters make the hottest key committed-heavy
+    assert occ[0].n_committed >= 2

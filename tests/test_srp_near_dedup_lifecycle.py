@@ -326,3 +326,13 @@ def test_stale_sidecar_over_wiped_store_heals(spark, tmp_path):
     for name in ("srp_index", "minhash_index"):
         idx = SnapshotStore(store2.base / name).read(spark)
         assert idx.select("id").distinct().count() == kept0
+    # hot-bucket telemetry rides both band caches as commit lineage
+    # (band_occupancy: the no-silent-caps visibility from VERDICT r5 #5)
+    for name in ("srp_bands", "minhash_bands"):
+        occ = SnapshotStore(store2.base / name).read_lineage(spark)
+        assert occ is not None
+        rows = occ.collect()
+        assert rows and all(r.n_total == r.n_new + r.n_committed for r in rows)
+        assert {"band", "bucket", "n_new", "n_committed", "n_total"} <= set(
+            occ.columns
+        )
