@@ -34,6 +34,8 @@ def _pages(spark, path: str, subset: str):
 
 
 def cmd_run(args) -> int:
+    from pyspark.sql import functions as F
+
     from puddin_spark.pipeline import sentence_table
     from puddin_spark.session import get_spark
     from puddin_spark.sinks import write_conllu, write_lineage_csv
@@ -68,6 +70,18 @@ def cmd_run(args) -> int:
         verdicts = store.read(spark)
         out["total_docs"] = verdicts.count()
         out["total_keep"] = verdicts.filter("keep").count()
+        # THIS batch's keep count from the stats-pruned lineage read: the
+        # per-file snapshot_id stats open only the new snapshot's lineage
+        # files (file skipping), not one snapshot per batch of history
+        batch_lin = store.read_lineage_where(
+            spark, "snapshot_id", snap_id, snap_id
+        )
+        if batch_lin is not None:
+            row = batch_lin.agg(
+                F.sum("n_keep").alias("k"), F.sum("n_docs").alias("d")
+            ).first()
+            out["batch_keep"] = int(row.k or 0)
+            out["batch_docs"] = int(row.d or 0)
         if args.conllu:
             sents = sentence_table(verdicts)
             if args.annotate:

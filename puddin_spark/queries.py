@@ -1382,6 +1382,60 @@ from f where frame_ix % 2 = 0
 """
 
 
+def q_media_near_dup(spark, sf_dir):
+    """END-TO-END multimodal near-dedup composition (VERDICT r5 item 4):
+    media binary -> embed_media (the vision-model seam's deterministic
+    sha-chain stub) -> banded SRP candidate pairs -> cluster resolution —
+    the same dedup surface the text pipeline gets, over an opaque binary
+    column. Media twins are injected as doc_id+1000000 with IDENTICAL
+    bytes (doc_id % 10 = 0): the stub embeds equal bytes to equal vectors
+    (cosine exactly 1.0, same SRP buckets in every band), while distinct
+    bytes hash to pseudo-random vectors far below the 0.99 bar — so the
+    verified pair graph is exactly the equal-media graph, and the oracle
+    derives clusters from first principles (equal text <=> equal bytes <=>
+    cosine 1.0) with min-id roots over each equality group. Returns
+    (id, root) for every clustered vector, resolve_duplicate_clusters'
+    contract."""
+    from puddin_spark.operators.dedup import resolve_duplicate_clusters
+    from puddin_spark.operators.multimodal import embed_media
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    twins = read_table(spark, sf_dir, "documents").filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.encode("text", "utf-8").alias("media"),
+    )
+    emb = embed_media(d.unionAll(twins), "doc_id", "media")
+    pairs = similarity.srp_candidate_pairs(
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+        ),
+        min_cos=0.99,
+    )
+    return resolve_duplicate_clusters(pairs.select("id_a", "id_b"))
+
+
+# equal text <=> equal media bytes <=> identical stub embedding (cos 1.0):
+# clusters are the text-equality groups of size >= 2, root = min doc_id —
+# no recursion needed (equality is transitive, unlike generic near-dup
+# graphs; neardup_resolution's recursive-CTE oracle covers that case)
+O_MEDIA_NEAR_DUP = """
+with m as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000 as doc_id, text from documents where doc_id % 10 = 0
+),
+g as (
+  select doc_id as id,
+         min(doc_id) over (partition by text) as root,
+         count(*) over (partition by text) as n
+  from m)
+select id, root from g where n >= 2
+"""
+
+
 def q_sentence_segment(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     return (
@@ -1925,6 +1979,11 @@ from s group by user_id, session_ix
 # already hard-checked by a retained entry live in LOCAL_QUERIES below and
 # are replayed against the same DuckDB oracles by tests/test_queries.py.
 SPARK_QUERIES = {
+    # r5 rotation: the only gate never driver-verified leads (VERDICT r4
+    # item 2); token_counts rotated to LOCAL_QUERIES — its token_count_col
+    # path stays driver-exercised through quality_scores AND this entry's
+    # tox_ratio denominator
+    "toxicity_scores": q_toxicity_scores,
     "events_sessionize": q_events_sessionize,
     "conllu_annotated": q_conllu_annotated,
     "lemma_stats_rollup": q_lemma_stats_rollup,
@@ -1956,7 +2015,6 @@ SPARK_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "incremental_srp_pairs": q_incremental_srp_pairs,
     "quality_scores": q_quality_scores,
-    "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
     "html_extract": q_html_extract,
     "url_canonicalize": q_url_canonicalize,
@@ -1985,9 +2043,13 @@ LOCAL_QUERIES = {
     "simhash_values": q_simhash_values,
     "srp_buckets": q_srp_buckets,
     "events_hourly": q_events_hourly,
-    # round-4 addition: scoring twin of the pii/toxicity masker (local so
-    # the driver dict stays at exactly 50; same oracle discipline)
-    "toxicity_scores": q_toxicity_scores,
+    # r5 rotation out of the driver 50 (swapped for toxicity_scores):
+    # token_count_col is driver-exercised via quality_scores and
+    # toxicity_scores' tox_ratio; this gate still replays locally
+    "token_counts": q_token_counts,
+    # r5: end-to-end multimodal near-dedup composition (embed_media ->
+    # SRP pairs -> cluster resolution; VERDICT r5 item 4)
+    "media_near_dup": q_media_near_dup,
 }
 
 # Union for local replay + bench lookups.
@@ -2037,6 +2099,7 @@ def oracle_queries() -> dict[str, str]:
         "langid_heuristic": O_LANGID_HEURISTIC,
         "multimodal_meta": O_MULTIMODAL_META,
         "media_frames": O_MEDIA_FRAMES,
+        "media_near_dup": O_MEDIA_NEAR_DUP,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

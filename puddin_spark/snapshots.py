@@ -139,6 +139,7 @@ class SnapshotStore:
         base: bool = False,
         partition_by: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        lineage_stats_cols: list[str] | None = None,
     ) -> int:
         """Atomically append one snapshot (data + optional lineage).
         base=True marks a compaction snapshot that supersedes all earlier
@@ -151,7 +152,11 @@ class SnapshotStore:
         footers); read_where() uses them to open only the files whose
         range can satisfy a predicate — cluster the data on the column
         first (repartitionByRange + sortWithinPartitions) or the ranges
-        all overlap and nothing prunes. Raises ConcurrentWriteError if
+        all overlap and nothing prunes. lineage_stats_cols is the same for
+        the LINEAGE files (read_lineage_where) — lineage accumulates one
+        snapshot per batch, so per-batch metric reads on a long-lived
+        store should open one snapshot's files, not every batch's since
+        the last compact. Raises ConcurrentWriteError if
         another writer landed the same snapshot id first — link(2) is the
         O_EXCL of the commit protocol."""
         token = uuid.uuid4().hex
@@ -163,8 +168,13 @@ class SnapshotStore:
         file_stats = (
             _collect_file_stats(staging / "data", stats_cols) if stats_cols else None
         )
+        lineage_file_stats = None
         if lineage is not None:
             lineage.write.mode("overwrite").parquet(str(staging / "lineage"))
+            if lineage_stats_cols:
+                lineage_file_stats = _collect_file_stats(
+                    staging / "lineage", lineage_stats_cols
+                )
 
         snap_id = self.current_snapshot_id() + 1
         final = self.base / "_commits" / f"{snap_id:06d}.json"
@@ -191,6 +201,8 @@ class SnapshotStore:
             "partition_by": partition_by or None,
             "stats_cols": stats_cols or None,
             "file_stats": file_stats,
+            "lineage_stats_cols": lineage_stats_cols or None,
+            "lineage_file_stats": lineage_file_stats,
         }
         # per-writer tmp record: a shared name would let the loser unlink
         # the winner's tmp mid-protocol
@@ -222,8 +234,10 @@ class SnapshotStore:
         recs = self._active_commits()
         part = recs[-1].get("partition_by") if recs else None
         stats = recs[-1].get("stats_cols") if recs else None
+        lin_stats = recs[-1].get("lineage_stats_cols") if recs else None
         return self.commit(
-            data, lineage, base=True, partition_by=part, stats_cols=stats
+            data, lineage, base=True, partition_by=part, stats_cols=stats,
+            lineage_stats_cols=lin_stats,
         )
 
     def rollback(self, spark: SparkSession, to_snapshot: int) -> int:
@@ -236,8 +250,10 @@ class SnapshotStore:
         recs = self._active_commits(to_snapshot)
         part = recs[-1].get("partition_by") if recs else None
         stats = recs[-1].get("stats_cols") if recs else None
+        lin_stats = recs[-1].get("lineage_stats_cols") if recs else None
         return self.commit(
-            data, lineage, base=True, partition_by=part, stats_cols=stats
+            data, lineage, base=True, partition_by=part, stats_cols=stats,
+            lineage_stats_cols=lin_stats,
         )
 
     def gc(self, *, staging_max_age_s: float = 3600.0) -> int:
@@ -375,13 +391,39 @@ class SnapshotStore:
         is safely skippable because a range predicate never matches null.
         Returns None when nothing is committed (or every file was pruned
         and no schema source remains)."""
+        return self._read_where_kind(spark, "data", col, lo, hi, as_of)
+
+    def read_lineage_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        as_of: int | None = None,
+    ) -> DataFrame | None:
+        """read_where over the LINEAGE files, driven by the stats recorded
+        at commit(lineage_stats_cols=[...]). The pipeline commits lineage
+        with per-file snapshot_id stats, so a per-batch metrics read
+        (snapshot_id == s) opens exactly that batch's lineage files — on a
+        long-lived incremental store the alternative is scanning one
+        lineage snapshot per batch since the last compact."""
+        return self._read_where_kind(spark, "lineage", col, lo, hi, as_of)
+
+    def _read_where_kind(
+        self, spark, kind: str, col: str, lo, hi, as_of: int | None
+    ) -> DataFrame | None:
+        dir_key, cols_key, stats_key = (
+            ("data_dir", "stats_cols", "file_stats")
+            if kind == "data"
+            else ("lineage_dir", "lineage_stats_cols", "lineage_file_stats")
+        )
         frames = []
         for r in self._active_commits(as_of):
-            d = r.get("data_dir")
+            d = r.get(dir_key)
             if not d:
                 continue
             ddir = self.base / d
-            fs = r.get("file_stats") if col in (r.get("stats_cols") or []) else None
+            fs = r.get(stats_key) if col in (r.get(cols_key) or []) else None
             if fs is None:
                 files = [str(p) for p in sorted(ddir.rglob("*.parquet"))]
             else:
@@ -473,7 +515,9 @@ def record_failures(
     lineage = lineage_table(updated, num_partitions=num_partitions).withColumn(
         "snapshot_id", F.lit(store.current_snapshot_id() + 1)
     )
-    snap_id = store.commit(updated, lineage, base=True)
+    snap_id = store.commit(
+        updated, lineage, base=True, lineage_stats_cols=["snapshot_id"]
+    )
     _prune_near_dedup_sidecar(spark, store, updated)
     return snap_id
 
@@ -643,8 +687,13 @@ def run_resumable_pipeline(
         )
         # proc_ts is lineage-only instrumentation — the published verdict
         # schema (OUTPUT_COLS) is what lands in the store
+        # lineage carries snapshot_id on every row and is committed with
+        # per-file snapshot_id stats: per-batch metric reads
+        # (read_lineage_where) open exactly this batch's lineage files
+        # instead of one snapshot per batch since the last compact
         snap_id = store.commit(
-            verdicts.drop("proc_ts"), lineage, partition_by=partition_by
+            verdicts.drop("proc_ts"), lineage, partition_by=partition_by,
+            lineage_stats_cols=["snapshot_id"],
         )
         if near_dedup and new_idx is not None:
             # index lands AFTER the verdict commit (see docstring for the
