@@ -326,6 +326,48 @@ def word_ngrams(text_col: str, n: int = 3):
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ANY word
+    n-gram with an evaluation set — the n-gram-overlap hygiene rule of
+    GPT-2/GPT-3-style training-data preparation (13-gram overlap is the
+    published convention; pass n=8..13 per policy). The complement of the
+    dedup family: dedup removes training-internal duplication,
+    decontamination removes train/test leakage.
+
+    Scale shape: the EVAL side is small by construction (a benchmark
+    suite, not a corpus) — its distinct n-grams broadcast; the corpus
+    explodes grams once and inner-joins against the broadcast set, so
+    only MATCHING (id, gram) rows reach the aggregation shuffle and
+    document bodies never shuffle at all. At 10^12 docs the cost is one
+    codegen'd gram projection per doc plus a broadcast-hash probe.
+
+    Returns (id, n_contaminated) for flagged documents — distinct
+    contaminated-gram count per doc, ready for an anti-join drop or an
+    excl_type='contaminated' verdict flip."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(text_col, n)).alias("g"),
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngrams(eval_text_col, n)).alias("g"))
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(eval_grams), "g")
+        # doc grams are array_distinct already: count(*) = distinct grams
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -833,6 +833,51 @@ where jaccard >= 0.5
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): the eval set is a
+    31-word window (tokens 5..35) of every 50th document with >= 40
+    tokens, so exactly those source documents carry 13-gram overlaps with
+    it — flagged with the count of contaminated grams. Both engines build
+    the eval snippets from the same token slice; the word-soup corpus
+    makes cross-document 13-gram collisions impossible, so the flag set is
+    deterministic. Scale shape: eval grams broadcast; only matching
+    (id, gram) rows shuffle."""
+    from puddin_spark.operators import dedup as dedup_ops
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = "split(trim(text), '\\\\s+')"
+    ev = (
+        d.filter("doc_id % 50 = 0")
+        .filter(F.expr(f"size({toks}) >= 40"))
+        .select(F.expr(f"concat_ws(' ', slice({toks}, 5, 31))").alias("text"))
+    )
+    out = dedup_ops.decontaminate(d, ev, n=13)
+    return out.select(F.col("id").alias("doc_id"), "n_contaminated")
+
+
+O_DECONTAMINATE = """
+with toks as (
+  select doc_id, string_split_regex(trim(text), '\\s+') as t from documents),
+ev as (
+  select array_to_string(t[5:35], ' ') as text
+  from toks where doc_id % 50 = 0 and len(t) >= 40),
+evg as (
+  select distinct unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 12, 1) + 1),
+           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+12], ' '))))
+         as g
+  from ev),
+dg as (
+  select doc_id as id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 12, 1) + 1),
+           i -> array_to_string(t[i:i+12], ' ')))) as g
+  from toks)
+select id as doc_id, count(*) as n_contaminated
+from dg join evg using (g)
+group by id
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5")
@@ -2050,6 +2095,9 @@ LOCAL_QUERIES = {
     # r5: end-to-end multimodal near-dedup composition (embed_media ->
     # SRP pairs -> cluster resolution; VERDICT r5 item 4)
     "media_near_dup": q_media_near_dup,
+    # r5: benchmark decontamination — the train/test-leakage complement of
+    # the dedup family (13-gram overlap vs an eval set, broadcast probe)
+    "decontaminate_eval": q_decontaminate,
 }
 
 # Union for local replay + bench lookups.
@@ -2100,6 +2148,7 @@ def oracle_queries() -> dict[str, str]:
         "multimodal_meta": O_MULTIMODAL_META,
         "media_frames": O_MEDIA_FRAMES,
         "media_near_dup": O_MEDIA_NEAR_DUP,
+        "decontaminate_eval": O_DECONTAMINATE,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

@@ -827,3 +827,27 @@ def test_band_occupancy_telemetry(spark):
         assert r.n_total == r.n_new + r.n_committed
     # template clusters make the hottest key committed-heavy
     assert occ[0].n_committed >= 2
+
+
+def test_decontaminate_flags_and_broadcasts(spark):
+    """decontaminate: a doc sharing any word n-gram with the eval set is
+    flagged with the distinct overlapping-gram count; clean docs are not.
+    The eval-gram side must be the BROADCAST side of the probe join (the
+    corpus never shuffles its bodies at 10^12-doc scale)."""
+    from puddin_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b c d e f g h"),     # contains eval 5-grams
+            ("d2", "z y x w v u t s"),     # clean
+            ("d3", "c d e f g h q r"),     # shares the tail 5-grams
+        ],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame([("c d e f g h",)], "text string")
+    out = decontaminate(docs, ev, n=5)
+    got = {r.id: r.n_contaminated for r in out.collect()}
+    # eval text has 5-grams: 'c d e f g', 'd e f g h' — d1 and d3 carry both
+    assert got == {"d1": 2, "d3": 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
