@@ -504,76 +504,91 @@ def committed_srp_flip_ids(
     committed_bands: DataFrame,
     *,
     min_cos: float,
-    probe: int = 8,
+    chunk: int = 4096,
 ) -> DataFrame:
     """Newcomer ids with >= 1 committed near-twin (cosine >= min_cos) — the
-    vs-COMMITTED half of the incremental near-dedup decision, restructured
-    for early exit. The flip needs only ONE qualifying hit per newcomer,
-    but full pair enumeration (incremental_srp_band_pairs) verifies every
-    committed member of every shared (band, bucket) key: on
-    boilerplate-heavy corpora the hottest committed buckets grow with the
-    corpus, so the vs-committed cost grew linearly while doing no useful
-    work after the first hit (VERDICT r4's one perf-weak flag; measured
-    16→25 s per fixed-size batch over 6 batches, BASELINE.md).
+    vs-COMMITTED half of the incremental near-dedup decision. EXACTLY the
+    flip set full pair enumeration produces (pinned by pytest), but the
+    pair rows are never materialized: on boilerplate-heavy corpora the
+    hottest (band, bucket) keys hold thousands of new AND committed
+    members, so enumerating (new, committed) candidates is a
+    new-x-committed blowup per bucket that grows linearly with committed
+    occupancy (VERDICT r4's one perf-weak flag; profiled at 14.6M -> 57.8M
+    candidate rows and 42 -> 216 s as committed grew 1x -> 4x — the
+    row-level aggregation WAS the cost, not cosine arithmetic).
 
-    Two phases, EXACTLY equivalent to full enumeration:
-    - rank each newcomer's committed candidates by shared-band count
-      descending (a cos>=0.99 twin collides in ~half the 16-plane bands,
-      a cos~0.9 near-miss in <1 on average — the count is a free
-      similarity proxy already paid for by the candidate join) and verify
-      only the top `probe` per newcomer;
-    - newcomers still unresolved AND holding >probe candidates verify the
-      remainder. Every candidate pair is verified unless its newcomer
-      already flipped — so the flip set is identical to the uncapped path
-      (pinned by pytest), while phase-A vector-join cost is bounded by
-      probe * |batch| regardless of committed bucket occupancy.
+    Shape: band rows rejoin their vectors (linear in bucket membership,
+    ~0.5 KB/row), shuffle ONCE by (band, bucket), and each bucket group
+    computes its new-x-committed cosine block as numpy matmuls inside one
+    applyInPandas pass — the committed side in `chunk`-column slices with
+    rows (newcomers) dropped from later slices once they hit (first-hit
+    early exit; on dup-heavy data most newcomers resolve in slice one).
+    A pair sharing several bands is recomputed per band: a redundant
+    matmul row costs ~ns while deduplicating pairs costs the shuffle this
+    function exists to avoid. Per-group memory is one chunk of the score
+    block, not the bucket; the hottest bucket is one task, its cost
+    bounded by genuine near-dup density (the content near-dedup must not
+    skip), not by corpus size.
 
     new-vs-new pairs are NOT this function's job: cluster resolution needs
-    full pair enumeration (run incremental_srp_band_pairs with no committed
+    the full edge set (run incremental_srp_band_pairs with no committed
     side). Inputs are (id, v) index frames and srp_band_table band frames;
     committed_bands should already be pruned to the batch's bucket
     prefixes. Returns a single-column (new_id) DataFrame, eagerly
     materialized via localCheckpoint (caller frees with
     free_local_checkpoints once its drop set is materialized)."""
+    import numpy as np
+
     new_keys = new_bands.select("band", "bucket").distinct()
-    com = (
-        committed_bands.select(F.col("id").alias("com_id"), "band", "bucket")
+    nb = (
+        new_bands.select("id", "band", "bucket")
+        .join(new_index.select("id", "v"), "id")
+        .select("band", "bucket", "id", "v", F.lit(True).alias("_new"))
+    )
+    cb = (
+        committed_bands.select("id", "band", "bucket")
         .join(new_keys, ["band", "bucket"], "left_semi")
+        .join(committed_index.select("id", "v"), "id")
+        .select("band", "bucket", "id", "v", F.lit(False).alias("_new"))
     )
-    # ONE wide shuffle, same key as the full path's candidate dedup — but
-    # aggregating the shared-band COUNT instead of just distinct
-    cand = (
-        new_bands.select(F.col("id").alias("new_id"), "band", "bucket")
-        .join(com, ["band", "bucket"])
-        .groupBy("new_id", "com_id")
-        .agg(F.count(F.lit(1)).alias("_nb"))
+    rows = nb.unionByName(cb)
+
+    def _flip(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"new_id": pd.Series([], dtype=object)})
+        if pdf.empty:
+            return empty
+        new_mask = pdf["_new"].to_numpy()
+        if not new_mask.any() or new_mask.all():
+            return empty
+        a_ids = pdf.loc[new_mask, "id"].to_numpy()
+        a = np.asarray(pdf.loc[new_mask, "v"].tolist(), dtype=np.float64)
+        c = np.asarray(pdf.loc[~new_mask, "v"].tolist(), dtype=np.float64)
+        an = np.linalg.norm(a, axis=1)
+        cn = np.linalg.norm(c, axis=1)
+        hits = np.zeros(len(a), dtype=bool)
+        live = np.arange(len(a))
+        for s in range(0, c.shape[0], chunk):
+            if live.size == 0:
+                break
+            cc = c[s : s + chunk]
+            scores = a[live] @ cc.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # np.round to 6 dp like cosine_pairs_udf: the threshold
+                # decision must match the full-enumeration path bit-for-bit
+                scores = np.round(
+                    scores / (an[live, None] * cn[s : s + chunk][None, :]), 6
+                )
+            h = (scores >= min_cos).any(axis=1)
+            hits[live[h]] = True
+            live = live[~h]
+        return pd.DataFrame({"new_id": a_ids[hits]})
+
+    return (
+        rows.groupBy("band", "bucket")
+        .applyInPandas(_flip, "new_id string")
+        .distinct()
+        .localCheckpoint()
     )
-    w = Window.partitionBy("new_id").orderBy(F.desc("_nb"), "com_id")
-    ranked = cand.select(
-        "new_id", "com_id", F.row_number().over(w).alias("_rk")
-    ).persist()
-
-    new_vecs = new_index.select(F.col("id").alias("new_id"), F.col("v").alias("_va"))
-    com_vecs = committed_index.select(
-        F.col("id").alias("com_id"), F.col("v").alias("_vb")
-    )
-
-    def _verify(c: DataFrame) -> DataFrame:
-        return (
-            c.join(new_vecs, "new_id")
-            .join(com_vecs, "com_id")
-            .withColumn("_cos", cosine_pairs_udf()(F.col("_va"), F.col("_vb")))
-            .filter(F.col("_cos") >= min_cos)
-            .select("new_id")
-            .distinct()
-        )
-
-    hits = _verify(ranked.filter(F.col("_rk") <= probe)).localCheckpoint()
-    rest = ranked.filter(F.col("_rk") > probe).join(hits, "new_id", "left_anti")
-    if not rest.isEmpty():
-        hits = hits.unionByName(_verify(rest)).distinct().localCheckpoint()
-    ranked.unpersist()
-    return hits
 
 
 def band_occupancy(

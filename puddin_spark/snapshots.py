@@ -944,12 +944,6 @@ def _apply_near_dedup(spark, store, verdicts, committed):
 _SRP_ND_PLANES_DEFAULT = 16
 _SRP_ND_BANDS_DEFAULT = 8
 _SRP_ND_MIN_COS = 0.99
-# vs-committed flip verification: candidates verified per newcomer in
-# phase A of committed_srp_flip_ids (shared-band-count order). A true
-# >= 0.99 twin collides in ~half the bands (expected rank 1-2); 8 gives
-# wide margin while bounding phase-A cost at probe * |batch| — phase B
-# preserves exactness for the tail.
-_SRP_ND_PROBE = 8
 # bucket -> 16 'pX' directory partitions, FIXED cardinality regardless of
 # num_planes (mod, not div: div 16 explodes to 2^(planes-4) dirs at high
 # planes). Letter prefix: a bare hex digit would partition-type-infer as
@@ -1039,11 +1033,11 @@ def _apply_embedding_near_dedup(
     in run_resumable_pipeline's docstring. (planes, bands) resolve against
     the sidecar's persisted _meta.json (_srp_meta).
 
-    The vs-COMMITTED flip runs through committed_srp_flip_ids (two-phase,
-    first-hit early exit — flip-set-identical to full enumeration but with
-    phase-A cost bounded by probe * |batch| instead of committed bucket
-    occupancy); full pair enumeration remains only where cluster
-    resolution genuinely needs it: new-vs-new. `occupancy` is the top-K
+    The vs-COMMITTED flip runs through committed_srp_flip_ids (per-bucket
+    numpy cosine blocks, first-hit early exit, no pair-row
+    materialization — flip-set-identical to full enumeration); full pair
+    enumeration remains only where cluster resolution genuinely needs it:
+    new-vs-new. `occupancy` is the top-K
     hottest (band, bucket) telemetry for this batch (new + pruned
     committed membership) — committed as the srp_bands snapshot's lineage
     so uncapped-bucket growth is observable per batch."""
@@ -1128,12 +1122,13 @@ def _apply_embedding_near_dedup(
     occupancy = band_occupancy(new_bands, committed_bands)
     flips = None
     if committed_idx is not None:
-        # vs-committed: first-hit early exit (the flip needs ONE >= min_cos
-        # committed twin; enumerating every committed bucket member grew
-        # per-batch cost with corpus-side occupancy — VERDICT r4)
+        # vs-committed: per-bucket numpy cosine blocks with first-hit early
+        # exit — pair rows are never materialized (enumerating every
+        # (new, committed) bucket co-member grew per-batch cost linearly
+        # with corpus-side occupancy — VERDICT r4, profiled in BASELINE.md)
         flips = committed_srp_flip_ids(
             new_idx, new_bands, committed_idx, committed_bands,
-            min_cos=_SRP_ND_MIN_COS, probe=_SRP_ND_PROBE,
+            min_cos=_SRP_ND_MIN_COS,
         )
     # new-vs-new keeps FULL pair enumeration: cluster resolution needs the
     # whole edge set, not an existence bit

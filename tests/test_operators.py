@@ -774,12 +774,12 @@ def _srp_test_corpus(spark):
 
 
 def test_committed_flip_ids_match_full_enumeration(spark):
-    """committed_srp_flip_ids (two-phase, first-hit early exit) must flip
-    EXACTLY the set full pair enumeration flips — at every probe size:
-    probe=0 routes everything through phase B, probe=2 exercises the
-    mixed path (template clusters give newcomers > 2 committed
-    candidates), probe=10^6 is pure phase A. VERDICT r5 item 1's 'flip set
-    identical to the uncapped path' pin."""
+    """committed_srp_flip_ids (per-bucket numpy cosine blocks, chunked
+    first-hit early exit) must flip EXACTLY the set full pair enumeration
+    flips — at every chunk size: chunk=1 maximally exercises the
+    early-exit row masking (one committed column per slice), chunk=7 the
+    mixed path, chunk=10^6 a single unchunked matmul. VERDICT r5 item 1's
+    'flip set identical to the uncapped path' pin."""
     from puddin_spark.operators.similarity import (
         committed_srp_flip_ids,
         incremental_srp_band_pairs,
@@ -802,15 +802,15 @@ def test_committed_flip_ids_match_full_enumeration(spark):
     }
     assert cand_ids - want, "corpus must produce no-hit candidate tails"
 
-    for probe in (0, 2, 10**6):
+    for chunk in (1, 7, 10**6):
         got = {
             r.new_id
             for r in committed_srp_flip_ids(
                 new_idx, new_bands, com_idx, com_bands,
-                min_cos=0.99, probe=probe,
+                min_cos=0.99, chunk=chunk,
             ).collect()
         }
-        assert got == want, f"probe={probe}: {got ^ want}"
+        assert got == want, f"chunk={chunk}: {got ^ want}"
 
 
 def test_band_occupancy_telemetry(spark):
