@@ -322,6 +322,8 @@ def main() -> None:
         embedding_near_dedup=True,
     )
     batch_secs = []
+    flips_by_batch = []
+    prev_flips = 0
     for i in range(1, 5):
         t0 = time.perf_counter()
         run_resumable_pipeline(
@@ -332,6 +334,13 @@ def main() -> None:
             embedding_near_dedup=True,
         )
         batch_secs.append(round(time.perf_counter() - t0, 3))
+        cur = (
+            emb_store.read(spark)
+            .filter("excl_type = 'emb_near_dup'")
+            .count()
+        )
+        flips_by_batch.append(cur - prev_flips)
+        prev_flips = cur
     t0 = time.perf_counter()
     run_resumable_pipeline(
         spark,
@@ -355,6 +364,9 @@ def main() -> None:
         "batch_docs": B,
         "committed_ratio": [1, 2, 3, 4],
         "batch_secs": batch_secs,
+        # per-batch flip counts: genuine-dedup-work context for the walls
+        # (a wall spike with flat flips = host load, not scaling)
+        "flips_by_batch": flips_by_batch,
         "cost_ratio_4x_vs_1x": round(batch_secs[-1] / batch_secs[0], 3),
         "skewed_batch_sec": skew_sec,
         "emb_near_dup_flips": emb_store.read(spark)
