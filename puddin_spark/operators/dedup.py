@@ -368,6 +368,42 @@ def decontaminate(
     )
 
 
+def apply_decontamination_gate(
+    verdicts: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "clean_text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Decontamination as a verdict gate composing AFTER the rule battery
+    (the apply_quality_gate/apply_toxicity_gate contract): kept docs
+    sharing any word n-gram with `eval_docs` flip to keep=false with
+    excl_type='contaminated' (clean_text nulled); already-dropped docs
+    pass through untouched. The flag join is `decontaminate`'s broadcast
+    probe — document bodies never shuffle."""
+    flagged = decontaminate(
+        verdicts.filter("keep").select("doc_id", text_col),
+        eval_docs,
+        n=n,
+        id_col="doc_id",
+        text_col=text_col,
+        eval_text_col=eval_text_col,
+    ).select(F.col("id").alias("doc_id"), F.lit(True).alias("_cont"))
+    keep_cols = verdicts.columns
+    out = verdicts.join(flagged, "doc_id", "left").select(
+        *[c for c in keep_cols if c not in ("keep", "excl_type", text_col)],
+        F.when(F.col("_cont"), F.lit(None).cast("string"))
+        .otherwise(F.col(text_col))
+        .alias(text_col),
+        (F.col("keep") & F.col("_cont").isNull()).alias("keep"),
+        F.when(F.col("_cont"), F.lit("contaminated"))
+        .otherwise(F.col("excl_type"))
+        .alias("excl_type"),
+    )
+    return out.select(*keep_cols)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -851,3 +851,28 @@ def test_decontaminate_flags_and_broadcasts(spark):
     assert got == {"d1": 2, "d3": 2}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_apply_decontamination_gate_composes_with_verdicts(spark):
+    """Decontamination as a verdict gate (apply_quality_gate contract):
+    kept docs overlapping the eval set flip to excl_type='contaminated'
+    with clean_text nulled; dropped docs and clean kept docs untouched;
+    column order preserved."""
+    from puddin_spark.operators.dedup import apply_decontamination_gate
+
+    verdicts = spark.createDataFrame(
+        [
+            ("d1", True, None, "alpha beta gamma delta epsilon"),
+            ("d2", True, None, "one two three four five"),
+            ("d3", False, "punc", None),
+        ],
+        "doc_id string, keep boolean, excl_type string, clean_text string",
+    )
+    ev = spark.createDataFrame([("beta gamma delta",)], "text string")
+    out = apply_decontamination_gate(verdicts, ev, n=3)
+    assert out.columns == verdicts.columns
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows["d1"].keep is False and rows["d1"].excl_type == "contaminated"
+    assert rows["d1"].clean_text is None
+    assert rows["d2"].keep is True and rows["d2"].excl_type is None
+    assert rows["d3"].keep is False and rows["d3"].excl_type == "punc"
