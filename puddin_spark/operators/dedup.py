@@ -546,27 +546,28 @@ def resolve_duplicate_clusters(
                 .groupBy("dst")
                 .agg(F.min("label").alias("nmin"))
             )
-            new_labels = (
+            # carry the PREVIOUS label through the checkpoint: convergence
+            # is then a filter+count over the just-materialized blocks — a
+            # flat scan — instead of a second id-keyed join per round
+            # (neutral at sf0.1 where the label table is tiny, but the
+            # removed join is a full label-set shuffle per round at scale)
+            with_prev = (
                 labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
                 .select(
                     "id",
                     F.least(
                         F.col("label"), F.coalesce("nmin", F.col("label"))
                     ).alias("label"),
+                    F.col("label").alias("_prev"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter("n.label != o.label")
-                .count()
-            )
+            changed = with_prev.filter("label != _prev").count()
             # the prior round's checkpoint blocks are dead weight the moment
             # `changed` is computed — free them instead of leaking one
             # round's worth of executor storage per iteration
             free_local_checkpoints(labels)
-            labels = new_labels
+            labels = with_prev.select("id", "label")
             if changed == 0:
                 return labels.select("id", F.col("label").alias("root"))
         raise RuntimeError(
