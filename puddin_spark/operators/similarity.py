@@ -525,10 +525,14 @@ def committed_srp_flip_ids(
     early exit; on dup-heavy data most newcomers resolve in slice one).
     A pair sharing several bands is recomputed per band: a redundant
     matmul row costs ~ns while deduplicating pairs costs the shuffle this
-    function exists to avoid. Per-group memory is one chunk of the score
-    block, not the bucket; the hottest bucket is one task, its cost
-    bounded by genuine near-dup density (the content near-dedup must not
-    skip), not by corpus size.
+    function exists to avoid. Per-group memory: the bucket's VECTORS
+    (~0.5 KB each — a million-member hot bucket is ~0.5 GB, one task)
+    plus one `chunk`-column slice of the score block; the early-exit row
+    masking means dup-heavy newcomers rarely scan past the first slice,
+    so the flops bound tracks genuine near-dup density, not corpus size.
+    Buckets beyond executor memory are the LSH-degeneracy regime the
+    occupancy telemetry (band_occupancy) exists to surface — raise
+    num_planes there rather than capping recall silently.
 
     new-vs-new pairs are NOT this function's job: cluster resolution needs
     the full edge set (run incremental_srp_band_pairs with no committed
