@@ -878,6 +878,35 @@ group by id
 """
 
 
+def q_vocab_counts(spark, sf_dir):
+    """Corpus vocabulary building (the BPE/tokenizer-training precursor):
+    global token frequencies, top 200 by (count desc, token) — the
+    canonical wordcount shape. Scale: map-side partial aggregation means
+    the shuffle carries (token, partial-count) pairs, never token
+    instances; the top-k is TakeOrderedAndProject (per-partition heads +
+    driver merge), never a global sort."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(200)
+    )
+
+
+O_VOCAB_COUNTS = """
+select token, count(*) as n
+from (select unnest(string_split_regex(trim(lower(text)), '\\s+')) as token
+      from documents)
+group by token
+order by n desc, token
+limit 200
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5")
@@ -2098,6 +2127,9 @@ LOCAL_QUERIES = {
     # r5: benchmark decontamination — the train/test-leakage complement of
     # the dedup family (13-gram overlap vs an eval set, broadcast probe)
     "decontaminate_eval": q_decontaminate,
+    # r5: vocabulary building (tokenizer-training precursor; wordcount
+    # with map-side partial agg + TakeOrderedAndProject top-k)
+    "vocab_counts": q_vocab_counts,
 }
 
 # Union for local replay + bench lookups.
@@ -2149,6 +2181,7 @@ def oracle_queries() -> dict[str, str]:
         "media_frames": O_MEDIA_FRAMES,
         "media_near_dup": O_MEDIA_NEAR_DUP,
         "decontaminate_eval": O_DECONTAMINATE,
+        "vocab_counts": O_VOCAB_COUNTS,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,
