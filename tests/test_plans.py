@@ -236,3 +236,60 @@ def test_keepdrop_confusion_broadcasts_labels(spark):
     plan = _plan(keepdrop_confusion(pred, truth))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_committed_flip_plan_has_no_pair_materialization(spark):
+    """committed_srp_flip_ids must stay the per-bucket matmul shape: one
+    grouped-map pandas stage over (band, bucket), NO window/rank over
+    enumerated (new, committed) pair rows (the rejected rank-and-probe
+    design — BASELINE.md round-5 — whose candidate enumeration grew
+    linearly with committed bucket occupancy)."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.operators.similarity import committed_srp_flip_ids
+
+    idx = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "id string, v array<double>"
+    )
+    bands = spark.createDataFrame(
+        [("a", 0, 5), ("b", 0, 5)], "id string, band int, bucket long"
+    )
+    out = committed_srp_flip_ids(
+        idx.filter("id = 'a'"), bands.filter("id = 'a'"),
+        idx.filter("id = 'b'"), bands.filter("id = 'b'"),
+        min_cos=0.99,
+    )
+    # localCheckpointed result: inspect the PRE-checkpoint logical plan by
+    # rebuilding the same expression without materializing
+    plan = (
+        bands.filter("id = 'a'")
+        .join(idx.filter("id = 'a'"), "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert out.count() == 0  # orthogonal vectors: no flip
+    # the real pin: the function's own plan, captured via explain on a
+    # fresh (non-checkpointed) equivalent expression
+    # patch the CONCRETE class (pyspark 4: instances are classic.DataFrame;
+    # pyspark.sql.DataFrame is the abstract base and never dispatches)
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    real_ckpt = ClassicDF.localCheckpoint
+    captured = {}
+    try:
+        def _capture(self, eager=True):
+            captured["plan"] = self._jdf.queryExecution().executedPlan().toString()
+            return real_ckpt(self, eager)
+
+        ClassicDF.localCheckpoint = _capture
+        committed_srp_flip_ids(
+            idx.filter("id = 'a'"), bands.filter("id = 'a'"),
+            idx.filter("id = 'b'"), bands.filter("id = 'b'"),
+            min_cos=0.99,
+        )
+    finally:
+        ClassicDF.localCheckpoint = real_ckpt
+    p = captured["plan"]
+    assert "FlatMapGroupsInPandas" in p
+    assert "Window" not in p and "row_number" not in p
