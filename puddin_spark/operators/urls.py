@@ -253,3 +253,33 @@ def duckdb_domain_sql(host_expr: str, rules: PslRules = DEFAULT_PSL) -> str:
         whens.append(f"when {n} = {s} and ({cond}) then {host_expr}")
     whens.append(f"when {n} <= 2 then {host_expr}")
     return f"case {' '.join(whens)} else {lastk(2)} end"
+
+
+def cap_per_domain(
+    pages: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Domain balancing: keep at most `max_per_domain` documents per
+    registered domain — the over-represented-host downsampling step of
+    C4/RefinedWeb-style web pipelines (a handful of boilerplate-heavy
+    hosts otherwise dominate the token budget). Deterministic: rows rank
+    by `order_by` (put a quality score first to keep the BEST docs; id
+    last as tiebreak) inside a window partitioned by url_domain.
+
+    Scale shape: one shuffle on the registered domain (the skewed-host
+    problem is exactly a skewed-key window — AQE skew handling applies);
+    Spark plans rank<=k windows as WindowGroupLimit, pushing the cap into
+    a partial top-k BEFORE the shuffle, so the exchange carries at most
+    max_per_domain rows per domain per input partition, not the full
+    host crawl."""
+    from pyspark.sql import Window
+
+    order = [F.col(c) for c in (order_by or [])] or [F.col(url_col)]
+    w = Window.partitionBy(url_domain(url_host(url_col))).orderBy(*order)
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )

@@ -1302,6 +1302,67 @@ def _oracle_domain_blocklist() -> str:
     return f"select doc_id from documents where {dom} not in ({blocked})"
 
 
+def q_domain_cap(spark, sf_dir):
+    """Domain balancing (urls.cap_per_domain): keep at most 3 docs per
+    registered domain, ranked by doc_id — the C4/RefinedWeb-style
+    over-represented-host downsampling step. The messy-url corpus folds
+    into 7 registered domains (site0..site6.co.uk), so the cap binds
+    hard; the window is WindowGroupLimit-planned (partial top-k before
+    the shuffle)."""
+    from puddin_spark.operators.urls import cap_per_domain
+
+    d = read_table(spark, sf_dir, "documents")
+    pages = d.select("doc_id", _messy_url_col().alias("raw_url"))
+    out = cap_per_domain(pages, 3, url_col="raw_url", order_by=["doc_id"])
+    return out.select("doc_id")
+
+
+def _oracle_domain_cap() -> str:
+    from puddin_spark.operators.urls import duckdb_domain_sql, duckdb_host_sql
+
+    dom = duckdb_domain_sql(duckdb_host_sql(_MESSY_URL_SQL))
+    return f"""
+with u as (select doc_id, {dom} as dom from documents),
+r as (select doc_id, row_number() over (partition by dom order by doc_id) as rn
+      from u)
+select doc_id from r where rn <= 3
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (splits.hash_split,
+    80/10/10, salt 'v1'): a pure function of (doc_id, salt) — stable
+    under repartitioning, resume, and incremental ingest, unlike
+    randomSplit. The md5-prefix bucket arithmetic is replayed exactly in
+    the oracle (strpos over the hex alphabet)."""
+    from puddin_spark.operators.splits import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return hash_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+    ).select("doc_id", "split")
+
+
+_HEXVAL = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+O_HASH_SPLIT = f"""
+with h as (
+  select doc_id,
+         substr(md5(concat(cast(doc_id as varchar), 'v1')), 1, 4) as hx
+  from documents),
+v as (
+  select doc_id,
+         (({_HEXVAL.format(i=1)}) * 4096 + ({_HEXVAL.format(i=2)}) * 256
+          + ({_HEXVAL.format(i=3)}) * 16 + ({_HEXVAL.format(i=4)})) % 10000
+           as pct
+  from h)
+select doc_id,
+       case when pct < 8000 then 'train'
+            when pct < 9000 then 'val'
+            else 'test' end as split
+from v
+"""
+
+
 def q_quality_gate(spark, sf_dir):
     """Model-tier quality filter (textstats.apply_quality_gate) composed
     after a keep-everything battery: documents scoring under the threshold
@@ -2130,6 +2191,9 @@ LOCAL_QUERIES = {
     # r5: vocabulary building (tokenizer-training precursor; wordcount
     # with map-side partial agg + TakeOrderedAndProject top-k)
     "vocab_counts": q_vocab_counts,
+    # r5: domain balancing + reproducible split assignment
+    "domain_cap": q_domain_cap,
+    "hash_split": q_hash_split,
 }
 
 # Union for local replay + bench lookups.
@@ -2182,6 +2246,8 @@ def oracle_queries() -> dict[str, str]:
         "media_near_dup": O_MEDIA_NEAR_DUP,
         "decontaminate_eval": O_DECONTAMINATE,
         "vocab_counts": O_VOCAB_COUNTS,
+        "domain_cap": _oracle_domain_cap(),
+        "hash_split": O_HASH_SPLIT,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

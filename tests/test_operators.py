@@ -876,3 +876,52 @@ def test_apply_decontamination_gate_composes_with_verdicts(spark):
     assert rows["d1"].clean_text is None
     assert rows["d2"].keep is True and rows["d2"].excl_type is None
     assert rows["d3"].keep is False and rows["d3"].excl_type == "punc"
+
+
+def test_hash_split_stable_and_proportional(spark):
+    """hash_split: assignment is a pure function of (key, salt) — identical
+    under repartitioning (randomSplit is NOT); proportions land near the
+    weights; a different salt draws an independent split."""
+    from puddin_spark.operators.splits import hash_split
+
+    d = spark.range(0, 4000).selectExpr("id as doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(d, w, salt="v1").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(d.repartition(13), w, salt="v1").collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 4000 - 0.8) < 0.03
+    assert abs(c["val"] / 4000 - 0.1) < 0.02
+    assert abs(c["test"] / 4000 - 0.1) < 0.02
+    # fresh salt: same proportions, different membership
+    c2 = {r.doc_id: r.split for r in hash_split(d, w, salt="v2").collect()}
+    assert c2 != a
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(d, {"train": -1.0, "val": 2.0})
+
+
+def test_cap_per_domain_keeps_best_and_plans_group_limit(spark):
+    """cap_per_domain keeps exactly max_per_domain rows per registered
+    domain in order_by order, and the rank<=k window plans as
+    WindowGroupLimit (partial top-k BEFORE the shuffle — the exchange
+    never carries a whole over-represented host crawl)."""
+    from puddin_spark.operators.urls import cap_per_domain
+
+    rows = [
+        (i, f"https://sub{i % 2}.host{i % 3}.example.com/p/{i}")
+        for i in range(60)
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    out = cap_per_domain(pages, 4, order_by=["doc_id"])
+    got = sorted(r.doc_id for r in out.collect())
+    # 3 hosts fold into ONE registered domain (example.com): global cap 4
+    assert got == [0, 1, 2, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
