@@ -53,6 +53,13 @@ def cmd_run(args) -> int:
             blocked = spark.read.option("header", True).csv(args.blocklist)
         else:
             blocked = spark.read.parquet(args.blocklist)
+    eval_docs = None
+    if args.decontaminate:
+        # csv (header: text) or parquet of eval/benchmark texts
+        if args.decontaminate.endswith(".csv"):
+            eval_docs = spark.read.option("header", True).csv(args.decontaminate)
+        else:
+            eval_docs = spark.read.parquet(args.decontaminate)
     snap_id, n_new = run_resumable_pipeline(
         spark, pages, store, num_partitions=args.partitions,
         near_dedup=args.near_dedup,
@@ -61,6 +68,8 @@ def cmd_run(args) -> int:
         srp_bands=args.srp_bands,
         html_fallback=args.html_fallback,
         blocked_domains=blocked,
+        decontaminate_against=eval_docs,
+        decontaminate_ngram=args.decontaminate_ngram,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
     )
     out = {"snapshot_id": snap_id, "new_docs": n_new}
@@ -335,6 +344,19 @@ def main(argv: list[str] | None = None) -> int:
                 default=None,
                 help="csv (header: domain) or parquet of registered domains"
                 " to record as excl_type='blocked_domain'",
+            )
+            sp.add_argument(
+                "--decontaminate",
+                default=None,
+                help="csv (header: text) or parquet of eval/benchmark texts;"
+                " kept docs sharing any word n-gram with them flip to"
+                " excl_type='contaminated' (GPT-3/Pile 13-gram hygiene)",
+            )
+            sp.add_argument(
+                "--decontaminate-ngram",
+                type=int,
+                default=13,
+                help="n-gram size for --decontaminate overlap",
             )
             sp.add_argument(
                 "--html-fallback",

@@ -561,6 +561,8 @@ def run_resumable_pipeline(
     srp_bands: int | None = None,
     html_fallback: bool = False,
     blocked_domains=None,
+    decontaminate_against: DataFrame | None = None,
+    decontaminate_ngram: int = 13,
     partition_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """One resumable pipeline run: process only not-yet-committed urls,
@@ -611,6 +613,12 @@ def run_resumable_pipeline(
     incomparable, so a mismatch raises instead of silently generating no
     candidates.
 
+    decontaminate_against (a DataFrame with a `text` column — the eval/
+    benchmark suite) flips kept docs sharing any word n-gram
+    (decontaminate_ngram, default 13) with it to excl_type='contaminated'
+    BEFORE the near-dedup passes (dedup.apply_decontamination_gate; the
+    eval side broadcasts, document bodies never shuffle).
+
     Returns (snapshot_id, n_new_docs); snapshot_id is -1 when there was
     nothing new (no empty commits — rerun after success is a no-op, the
     kill/rerun contract from BASELINE.md).
@@ -658,6 +666,16 @@ def run_resumable_pipeline(
         todo, num_partitions=num_partitions, with_timing=True,
         blocked_domains=blocked_domains,
     )
+    if decontaminate_against is not None:
+        # train/test-leakage flip BEFORE the near-dedup passes: fewer kept
+        # docs reach the (costlier) encoding/shingling stages, and a doc
+        # that is both contaminated and a near-dup records the policy
+        # reason (contaminated) rather than the incidental one
+        from puddin_spark.operators.dedup import apply_decontamination_gate
+
+        verdicts = apply_decontamination_gate(
+            verdicts, decontaminate_against, n=decontaminate_ngram
+        )
     raw_verdicts = verdicts = verdicts.persist()
     new_idx = None
     try:

@@ -553,3 +553,39 @@ def test_pipeline_lineage_read_prunes_to_batch(spark, tmp_path):
     assert sorted(
         (r.partition_id, r.n_docs, r.n_keep) for r in after.collect()
     ) == exp
+
+
+def test_resumable_pipeline_decontaminates(spark, tmp_path):
+    """run_resumable_pipeline(decontaminate_against=): kept docs sharing a
+    13-gram with the eval set land as excl_type='contaminated' verdicts
+    (completeness invariant intact — the doc is recorded, not vanished);
+    rerun stays a no-op (resume reads the committed url/sha sets, which
+    the gate does not alter)."""
+    from puddin_spark.synth import synth_pages_local
+
+    store = SnapshotStore(tmp_path / "v")
+    pages = synth_pages_local(spark, 60).cache()
+    # eval set = a 20-token window of some soon-to-be-kept docs' CLEAN text
+    # (the gate compares clean_text, what training would consume)
+    probe = SnapshotStore(tmp_path / "probe")
+    run_resumable_pipeline(spark, pages, probe, num_partitions=2)
+    kept = probe.read(spark).filter("keep").orderBy("doc_id").limit(3).collect()
+    ev = spark.createDataFrame(
+        [(" ".join(r.clean_text.split()[4:24]),) for r in kept],
+        "text string",
+    )
+
+    snap, n = run_resumable_pipeline(
+        spark, pages, store, num_partitions=2, decontaminate_against=ev
+    )
+    v = store.read(spark)
+    cont = {r.doc_id for r in v.filter("excl_type = 'contaminated'").collect()}
+    assert cont == {r.doc_id for r in kept}
+    assert v.filter("excl_type = 'contaminated' and clean_text is not null").count() == 0
+    # every url still has exactly one verdict row
+    assert v.count() == probe.read(spark).count()
+    # rerun: no-op
+    snap2, n2 = run_resumable_pipeline(
+        spark, pages, store, num_partitions=2, decontaminate_against=ev
+    )
+    assert (snap2, n2) == (-1, 0)
