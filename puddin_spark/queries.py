@@ -2114,11 +2114,21 @@ from s group by user_id, session_ix
 # already hard-checked by a retained entry live in LOCAL_QUERIES below and
 # are replayed against the same DuckDB oracles by tests/test_queries.py.
 SPARK_QUERIES = {
-    # r5 rotation: the only gate never driver-verified leads (VERDICT r4
-    # item 2); token_counts rotated to LOCAL_QUERIES — its token_count_col
-    # path stays driver-exercised through quality_scores AND this entry's
-    # tox_ratio denominator
+    # r5 rotation: never-driver-verified gates lead (least-recently-verified
+    # policy). toxicity_scores plus the five r5 additions (media_near_dup,
+    # decontaminate_eval, vocab_counts, domain_cap, hash_split) enter the
+    # driver 50; five r4-verified entries whose operators stay hard-checked
+    # by the local 59-way oracle replay (tests/test_queries.py) rotate out:
+    # tpch_q3 (q1/q5/q6/q18 keep the TPC-H join/agg shapes driver-green),
+    # union_accumulate, top_event_per_user, events_pivot, and
+    # dup_detection_window (windowing stays driver-exercised via
+    # dedup_exact_first's WindowGroupLimit and domain_cap).
     "toxicity_scores": q_toxicity_scores,
+    "media_near_dup": q_media_near_dup,
+    "decontaminate_eval": q_decontaminate,
+    "vocab_counts": q_vocab_counts,
+    "domain_cap": q_domain_cap,
+    "hash_split": q_hash_split,
     "events_sessionize": q_events_sessionize,
     "conllu_annotated": q_conllu_annotated,
     "lemma_stats_rollup": q_lemma_stats_rollup,
@@ -2133,12 +2143,7 @@ SPARK_QUERIES = {
     "validation_status": q_validation_status,
     "stats_rollup": q_stats_rollup,
     "doc_stats_describe": q_doc_stats_describe,
-    "dup_detection_window": q_dup_detection_window,
-    "union_accumulate": q_union_accumulate,
-    "top_event_per_user": q_top_event_per_user,
-    "events_pivot": q_events_pivot,
     "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q18": q_tpch_q18,
@@ -2182,18 +2187,13 @@ LOCAL_QUERIES = {
     # token_count_col is driver-exercised via quality_scores and
     # toxicity_scores' tox_ratio; this gate still replays locally
     "token_counts": q_token_counts,
-    # r5: end-to-end multimodal near-dedup composition (embed_media ->
-    # SRP pairs -> cluster resolution; VERDICT r5 item 4)
-    "media_near_dup": q_media_near_dup,
-    # r5: benchmark decontamination — the train/test-leakage complement of
-    # the dedup family (13-gram overlap vs an eval set, broadcast probe)
-    "decontaminate_eval": q_decontaminate,
-    # r5: vocabulary building (tokenizer-training precursor; wordcount
-    # with map-side partial agg + TakeOrderedAndProject top-k)
-    "vocab_counts": q_vocab_counts,
-    # r5: domain balancing + reproducible split assignment
-    "domain_cap": q_domain_cap,
-    "hash_split": q_hash_split,
+    # r5 second rotation out (swapped for the five r5 gates above); all
+    # five stay bit-exact via the local oracle replay at both SFs
+    "tpch_q3": q_tpch_q3,
+    "union_accumulate": q_union_accumulate,
+    "top_event_per_user": q_top_event_per_user,
+    "events_pivot": q_events_pivot,
+    "dup_detection_window": q_dup_detection_window,
 }
 
 # Union for local replay + bench lookups.
