@@ -58,3 +58,39 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep each row with its
+    stratum's fraction, decided by the same md5 bucket lattice as
+    `hash_split` — so membership is exact-reproducible across engines,
+    runs, and repartitionings (unlike `DataFrame.sampleBy`, whose draw
+    depends on a seed AND on partition layout). The domain-rebalancing /
+    source-mixing step of a training-data pipeline (e.g. take 50% of
+    Common Crawl, 100% of Wikipedia) expressed as a pure-codegen filter:
+    no shuffle, no UDF, fully pushdown-friendly.
+
+    `fractions` maps stratum value -> keep fraction in [0, 1]; strata not
+    listed keep `default`. Thresholds are exact integers over the 10k
+    lattice, so both engines agree bit-for-bit."""
+    for k, v in fractions.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"fraction for {k!r} outside [0,1]: {v}")
+    if not (0.0 <= default <= 1.0):
+        raise ValueError(f"default fraction outside [0,1]: {default}")
+    bucket = split_bucket_col(key_col, salt)
+    thr = None
+    for name, frac in fractions.items():
+        t = int(round(GRANULARITY * frac))
+        cond = F.col(strata_col) == F.lit(name)
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    dthr = F.lit(int(round(GRANULARITY * default)))
+    thr = dthr if thr is None else thr.otherwise(dthr)
+    return df.where(bucket < thr)

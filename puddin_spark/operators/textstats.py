@@ -196,3 +196,33 @@ def apply_toxicity_gate(
         .alias("excl_type"),
     )
     return out.select(*keep_cols)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    ppl_col: str = "ppl",
+    group_cols: tuple[str, ...] = ("lang",),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity tiering: within each group (typically per
+    language), rank documents by LM perplexity and cut into equal tiles —
+    `head` = most-fluent third, `tail` = least. CCNet (Wenzek et al.
+    2020) keeps head+middle for pre-training; downstream mixers weight
+    tiles differently. Implemented as a single ntile window (partial sort
+    within each hash partition, one shuffle on the group key); the
+    (ppl, id) ordering key makes tile membership deterministic even when
+    perplexities tie. Adds `ppl_bucket`."""
+    from pyspark.sql.window import Window
+
+    n = len(labels)
+    if n < 2:
+        raise ValueError("need at least 2 bucket labels")
+    w = Window.partitionBy(*group_cols).orderBy(ppl_col, id_col)
+    tile = F.ntile(n).over(w)
+    expr = None
+    for i, name in enumerate(labels[:-1], start=1):
+        cond = tile == F.lit(i)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(labels[-1])
+    return df.withColumn("ppl_bucket", expr)

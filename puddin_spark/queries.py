@@ -1363,6 +1363,146 @@ from v
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (splits.stratified_sample):
+    keep 50% of en, 25% of es, 10% of every other language — the
+    source-mixing / rebalancing step of a training-data pipeline, decided
+    by the same engine-portable md5 bucket lattice as hash_split so
+    membership is reproducible across runs, engines, and repartitionings
+    (unlike DataFrame.sampleBy). Pure-codegen filter: no shuffle, no UDF."""
+    from puddin_spark.operators.splits import stratified_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, {"en": 0.5, "es": 0.25}, strata_col="lang", salt="s1", default=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+_HEXVAL_S1 = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+O_STRATIFIED_SAMPLE = f"""
+with h as (
+  select doc_id, lang,
+         substr(md5(concat(cast(doc_id as varchar), 's1')), 1, 4) as hx
+  from documents),
+v as (
+  select doc_id, lang,
+         (({_HEXVAL_S1.format(i=1)}) * 4096 + ({_HEXVAL_S1.format(i=2)}) * 256
+          + ({_HEXVAL_S1.format(i=3)}) * 16 + ({_HEXVAL_S1.format(i=4)})) % 10000
+           as pct
+  from h)
+select doc_id, lang from v
+where pct < case lang when 'en' then 5000 when 'es' then 2500 else 1000 end
+"""
+
+
+def q_importance_scores(spark, sf_dir):
+    """DSIR-style hashed-unigram importance scoring
+    (operators.importance): fit 256-bucket log-likelihood-ratio weights
+    for target = English docs vs background = whole corpus, then score
+    every document by the BIGINT sum of quantized per-token weights.
+    Fitting collects two <=256-row histograms (bounded, like IVF centroid
+    training); scoring is explode -> broadcast weight join -> one
+    groupBy(doc) shuffle carrying only integer partial sums — the
+    data-selection step of a training-data pipeline at any corpus size.
+    The oracle refits the same weights in pure Python (same md5 lattice,
+    same quantization) and inlines them as a VALUES table."""
+    from puddin_spark.operators.importance import (
+        fit_importance_weights,
+        importance_scores,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tgt = d.where(F.col("lang") == "en")
+    weights = fit_importance_weights(tgt, d, num_buckets=256)
+    return importance_scores(d, weights, num_buckets=256).select(
+        "doc_id", "n_tokens", "score_q"
+    )
+
+
+def _oracle_importance() -> str:
+    """Independent weight refit: tokenize + hash the SF's documents in
+    pure Python (hashlib md5, same hex-lattice arithmetic), call the same
+    weights_from_counts on the integer histograms, inline the quantized
+    weights as VALUES. DuckDB then reproduces the per-doc scores with its
+    own tokenizer + the strpos bucket twin — any divergence in hashing,
+    smoothing, quantization, or summation breaks the hash match."""
+    import hashlib
+    import re as _re
+
+    import duckdb as _duckdb
+
+    from puddin_spark.operators.importance import (
+        duckdb_bucket_sql,
+        weights_from_counts,
+    )
+
+    sf = os.environ.get("PUDDIN_TEST_SF_DIR", "/root/testdata/sf0.01")
+    con = _duckdb.connect()
+    rows = con.execute(
+        f"select lang, text from read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    B = 256
+    tgt: dict[int, int] = {}
+    bg: dict[int, int] = {}
+    for lang, text in rows:
+        for tok in _re.split(r"\s+", text.lower()):
+            if not tok:
+                continue
+            b = (int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 10000) % B
+            bg[b] = bg.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    w = weights_from_counts(tgt, bg, B, alpha=0.5)
+    vals = ", ".join(f"({b}, {q})" for b, q in sorted(w.items()))
+    bsql = duckdb_bucket_sql("token", B)
+    return f"""
+with toks as (
+  select doc_id, unnest(string_split_regex(lower(text), '\\s+')) as token
+  from documents),
+t2 as (select doc_id, {bsql} as bucket from toks where token <> ''),
+w(bucket, w) as (values {vals})
+select t2.doc_id, count(*) as n_tokens, cast(sum(w.w) as bigint) as score_q
+from t2 join w using (bucket)
+group by t2.doc_id
+"""
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity tiering (textstats.perplexity_buckets):
+    rank docs by char-LM perplexity within each language, cut into
+    head/middle/tail thirds via one ntile window. Deterministic tile
+    membership from the (ppl, doc_id) ordering key; the ppl values
+    themselves are the golden-parquet-pinned model output, so the oracle
+    reruns the identical window over the frozen values."""
+    from puddin_spark.models import perplexity_udf
+    from puddin_spark.operators.textstats import perplexity_buckets
+
+    d = read_table(spark, sf_dir, "documents")
+    p = d.select("doc_id", "lang", perplexity_udf()(F.col("text")).alias("ppl"))
+    return perplexity_buckets(p).select("doc_id", "lang", "ppl_bucket")
+
+
+def _oracle_perplexity_buckets() -> str | None:
+    g = _model_golden_oracle("perplexity")
+    if g is None:
+        return None
+    return f"""
+with p as (
+  select g.doc_id, d.lang, g.ppl
+  from ({g}) g join documents d using (doc_id)),
+n as (
+  select doc_id, lang,
+         ntile(3) over (partition by lang order by ppl, doc_id) as b
+  from p)
+select doc_id, lang,
+       case b when 1 then 'head' when 2 then 'middle' else 'tail' end
+         as ppl_bucket
+from n
+"""
+
+
 def q_quality_gate(spark, sf_dir):
     """Model-tier quality filter (textstats.apply_quality_gate) composed
     after a keep-everything battery: documents scoring under the threshold
@@ -2194,6 +2334,12 @@ LOCAL_QUERIES = {
     "top_event_per_user": q_top_event_per_user,
     "events_pivot": q_events_pivot,
     "dup_detection_window": q_dup_detection_window,
+    # r5 late additions (never driver-verified — rotate into the driver 50
+    # in r6): deterministic source mixing, DSIR-style data selection, and
+    # CCNet-style perplexity tiering
+    "stratified_sample": q_stratified_sample,
+    "importance_scores": q_importance_scores,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 # Union for local replay + bench lookups.
@@ -2248,6 +2394,8 @@ def oracle_queries() -> dict[str, str]:
         "vocab_counts": O_VOCAB_COUNTS,
         "domain_cap": _oracle_domain_cap(),
         "hash_split": O_HASH_SPLIT,
+        "stratified_sample": O_STRATIFIED_SAMPLE,
+        "importance_scores": _oracle_importance(),
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,
@@ -2266,4 +2414,8 @@ def oracle_queries() -> dict[str, str]:
         sql = _model_golden_oracle(kind)
         if sql is not None:
             out[name] = sql
+    # same golden-parquet dependency: tile assignment over frozen ppl values
+    ppl_buckets = _oracle_perplexity_buckets()
+    if ppl_buckets is not None:
+        out["perplexity_buckets"] = ppl_buckets
     return out

@@ -925,3 +925,107 @@ def test_cap_per_domain_keeps_best_and_plans_group_limit(spark):
     assert got == [0, 1, 2, 3]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_stratified_sample_stable_and_per_stratum(spark):
+    """stratified_sample: membership is a pure function of (key, salt) —
+    identical under repartitioning (sampleBy is NOT); per-stratum keep
+    rates land near the requested fractions; unlisted strata get the
+    default; out-of-range fractions raise."""
+    import pytest
+    from puddin_spark.operators.splits import stratified_sample
+
+    d = spark.range(0, 6000).selectExpr(
+        "id as doc_id",
+        "case when id % 3 = 0 then 'en' when id % 3 = 1 then 'es' else 'de' end as lang",
+    )
+    fr = {"en": 0.5, "es": 0.2}
+    a = {r.doc_id for r in stratified_sample(d, fr, salt="t1").collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(d.repartition(17), fr, salt="t1").collect()
+    }
+    assert a == b
+    by_lang = {
+        lang: sum(1 for i in a if i % 3 == k) / 2000
+        for k, lang in enumerate(["en", "es", "de"])
+    }
+    assert abs(by_lang["en"] - 0.5) < 0.04
+    assert abs(by_lang["es"] - 0.2) < 0.03
+    assert by_lang["de"] == 0.0  # default fraction 0 drops unlisted strata
+    # non-zero default keeps ~that share of unlisted strata
+    c = {
+        r.doc_id
+        for r in stratified_sample(d, fr, salt="t1", default=0.3).collect()
+    }
+    assert a <= c
+    assert abs(sum(1 for i in c if i % 3 == 2) / 2000 - 0.3) < 0.04
+    with pytest.raises(ValueError, match="outside"):
+        stratified_sample(d, {"en": 1.5})
+
+
+def test_importance_scores_discriminate_and_broadcast(spark):
+    """DSIR-style importance weighting on a two-vocabulary corpus: docs
+    drawn from the target vocabulary must outscore background-vocabulary
+    docs; scores are repartition-stable (BIGINT sums — no float
+    summation order dependence); the weight join is a broadcast."""
+    from puddin_spark.operators.importance import (
+        fit_importance_weights,
+        importance_scores,
+    )
+
+    tgt_words = ["alpha", "beta", "gamma", "delta"]
+    bg_words = ["omega", "sigma", "kappa", "zeta"]
+    rows = []
+    for i in range(120):
+        words = tgt_words if i % 2 == 0 else bg_words
+        rows.append((i, " ".join(words[(i + j) % 4] for j in range(30))))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    target = d.where("doc_id % 2 = 0")
+    w = fit_importance_weights(target, d, num_buckets=64)
+    assert len(w) == 64 and all(isinstance(v, int) for v in w.values())
+    scored = importance_scores(d, w, num_buckets=64)
+    got = {r.doc_id: r.score_q for r in scored.collect()}
+    assert len(got) == 120
+    tgt_min = min(v for k, v in got.items() if k % 2 == 0)
+    bg_max = max(v for k, v in got.items() if k % 2 == 1)
+    assert tgt_min > bg_max > 0 or tgt_min > 0 > bg_max or 0 > tgt_min > bg_max
+    assert tgt_min > bg_max
+    again = {
+        r.doc_id: r.score_q
+        for r in importance_scores(d.repartition(11), w, num_buckets=64).collect()
+    }
+    assert again == got
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_perplexity_buckets_even_tiles_per_group(spark):
+    """perplexity_buckets: within each group the three tiles are as even
+    as possible; lower-ppl rows land in 'head'; tie-break on id makes
+    membership deterministic under repartitioning."""
+    from puddin_spark.operators.textstats import perplexity_buckets
+
+    rows = [(i, "en" if i < 90 else "de", float(i % 30)) for i in range(150)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = perplexity_buckets(d)
+    got = {(r.doc_id): (r.lang, r.ppl_bucket) for r in out.collect()}
+    from collections import Counter
+
+    en = Counter(v[1] for v in got.values() if v[0] == "en")
+    de = Counter(v[1] for v in got.values() if v[0] == "de")
+    assert en == {"head": 30, "middle": 30, "tail": 30}
+    assert de == {"head": 20, "middle": 20, "tail": 20}
+    # head really is the low-perplexity end within its group
+    en_head_max = max(
+        r.ppl for r in out.collect() if r.lang == "en" and r.ppl_bucket == "head"
+    )
+    en_tail_min = min(
+        r.ppl for r in out.collect() if r.lang == "en" and r.ppl_bucket == "tail"
+    )
+    assert en_head_max <= en_tail_min
+    again = {
+        (r.doc_id): (r.lang, r.ppl_bucket)
+        for r in perplexity_buckets(d.repartition(13)).collect()
+    }
+    assert again == got
