@@ -1503,6 +1503,69 @@ from n
 """
 
 
+_O_PACK_STREAM = """
+with t as (
+  select doc_id,
+         cast(len(string_split_regex(trim(lower(text)), '\\s+')) as bigint)
+           as n_tokens,
+         md5(concat(cast(doc_id as varchar), 'p1')) as hx
+  from documents),
+s as (
+  select doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) over
+           (order by hx, doc_id
+            rows between unbounded preceding and 1 preceding), 0) as bigint)
+           as strt
+  from t)
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-3-style sequence packing (packing.pack_sequences): concatenate
+    documents in deterministic md5-shuffled order and chunk into 512-token
+    windows; each doc gets (pack_id, pack_offset) of its first token. The
+    exclusive prefix sum runs as the two-phase range-partition scheme (no
+    Exchange SinglePartition — SURVEY §2.7 generalized from counts to
+    sums); the oracle replays it as a plain single-task window, which must
+    agree bit-for-bit because only BIGINTs are summed."""
+    from puddin_spark.operators.packing import pack_sequences
+    from puddin_spark.operators.textstats import token_count_col
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col("text").alias("n_tokens")
+    )
+    out = pack_sequences(d, 512, "n_tokens", salt="p1", num_partitions=8)
+    return out.select("doc_id", "pack_id", "pack_offset")
+
+
+O_PACK_SEQUENCES = f"""{_O_PACK_STREAM}
+select doc_id, strt // 512 as pack_id, strt % 512 as pack_offset
+from s
+"""
+
+
+def q_token_budget(spark, sf_dir):
+    """Exact-token-budget corpus cut (packing.token_budget_sample): keep
+    documents fitting entirely within the first 5000 tokens of the
+    md5-shuffled stream — the scaling-law-ladder selection. Prefix
+    property: a larger budget strictly adds documents; membership is
+    independent of cluster size (evidenced by the two-phase prefix sum
+    matching the oracle's single-task window)."""
+    from puddin_spark.operators.packing import token_budget_sample
+    from puddin_spark.operators.textstats import token_count_col
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col("text").alias("n_tokens")
+    )
+    out = token_budget_sample(d, 5000, "n_tokens", salt="p1", num_partitions=8)
+    return out.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
+O_TOKEN_BUDGET = f"""{_O_PACK_STREAM}
+select doc_id, n_tokens from s where strt + n_tokens <= 5000
+"""
+
+
 def q_quality_gate(spark, sf_dir):
     """Model-tier quality filter (textstats.apply_quality_gate) composed
     after a keep-everything battery: documents scoring under the threshold
@@ -2340,6 +2403,8 @@ LOCAL_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "importance_scores": q_importance_scores,
     "perplexity_buckets": q_perplexity_buckets,
+    "pack_sequences": q_pack_sequences,
+    "token_budget": q_token_budget,
 }
 
 # Union for local replay + bench lookups.
@@ -2396,6 +2461,8 @@ def oracle_queries() -> dict[str, str]:
         "hash_split": O_HASH_SPLIT,
         "stratified_sample": O_STRATIFIED_SAMPLE,
         "importance_scores": _oracle_importance(),
+        "pack_sequences": O_PACK_SEQUENCES,
+        "token_budget": O_TOKEN_BUDGET,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

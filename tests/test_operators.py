@@ -1029,3 +1029,86 @@ def test_perplexity_buckets_even_tiles_per_group(spark):
         for r in perplexity_buckets(d.repartition(13)).collect()
     }
     assert again == got
+
+
+def test_global_prefix_sum_matches_single_task_window(spark):
+    """with_global_prefix_sum: bit-identical to the single-task
+    sum().over(Window.orderBy(...)) at any partitioning, but the plan has
+    NO Exchange SinglePartition (the 10^12-row wall the two-phase scheme
+    exists to avoid)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from puddin_spark.operators.packing import (
+        shuffle_key_col,
+        with_global_prefix_sum,
+    )
+
+    d = spark.range(0, 3000).selectExpr("id as doc_id", "id % 97 + 1 as toks")
+    w = (
+        Window.orderBy(shuffle_key_col("doc_id", "t1"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.doc_id: r.s - r.toks
+        for r in d.withColumn("s", F.sum("toks").over(w)).collect()
+    }
+    for parts in (3, 11):
+        out = with_global_prefix_sum(
+            d.repartition(7), "toks", salt="t1", num_partitions=parts
+        )
+        got = {r.doc_id: r._start for r in out.collect()}
+        assert got == want
+    plan = with_global_prefix_sum(d, "toks", salt="t1")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_pack_sequences_stream_layout(spark):
+    """pack_sequences: reading docs back in (pack_id, pack_offset) order
+    reconstructs a contiguous token stream — each doc starts exactly where
+    the previous one ended (mod straddling), offsets < seq_len, stream
+    starts at pack 0 offset 0."""
+    from puddin_spark.operators.packing import pack_sequences
+
+    d = spark.range(0, 400).selectExpr("id as doc_id", "id % 50 + 1 as toks")
+    out = pack_sequences(d, 128, "toks", salt="p9", num_partitions=5)
+    rows = sorted(
+        out.collect(), key=lambda r: (r.pack_id, r.pack_offset, r.doc_id)
+    )
+    assert rows[0].pack_id == 0 and rows[0].pack_offset == 0
+    pos = 0
+    for r in rows:
+        assert r.pack_id * 128 + r.pack_offset == pos
+        assert 0 <= r.pack_offset < 128
+        pos += r.toks
+    assert pos == sum(i % 50 + 1 for i in range(400))
+
+
+def test_token_budget_prefix_property(spark):
+    """token_budget_sample: kept docs fit within the budget; a larger
+    budget strictly extends the selection (prefix property — the
+    scaling-law ladder invariant); membership is repartition-stable."""
+    import pytest
+    from puddin_spark.operators.packing import token_budget_sample
+
+    d = spark.range(0, 500).selectExpr("id as doc_id", "id % 40 + 5 as toks")
+    small = {
+        r.doc_id for r in token_budget_sample(d, 2000, "toks", salt="b1").collect()
+    }
+    big = {
+        r.doc_id for r in token_budget_sample(d, 6000, "toks", salt="b1").collect()
+    }
+    assert small < big
+    kept_tokens = sum(
+        r.toks for r in token_budget_sample(d, 2000, "toks", salt="b1").collect()
+    )
+    assert kept_tokens <= 2000
+    again = {
+        r.doc_id
+        for r in token_budget_sample(
+            d.repartition(13), 2000, "toks", salt="b1", num_partitions=4
+        ).collect()
+    }
+    assert again == small
+    with pytest.raises(ValueError, match="non-negative"):
+        token_budget_sample(d, -1, "toks")
