@@ -259,6 +259,89 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Training-data export — the last mile after cleaning/dedup: kept
+    verdicts -> optional exact token budget (packing.token_budget_sample)
+    -> reproducible split assignment (splits.hash_split) -> per-split
+    GPT-3-style sequence packing (packing.pack_sequences) -> parquet
+    partitioned by split. Every stage is a pure function of (corpus,
+    salt): rerunning at any cluster size or resuming after more batches
+    were ingested reproduces identical split membership and pack layout
+    for the docs that were already present."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.operators.packing import (
+        pack_sequences,
+        token_budget_sample,
+    )
+    from puddin_spark.operators.splits import hash_split
+    from puddin_spark.operators.textstats import token_count_col
+    from puddin_spark.session import get_spark
+    from puddin_spark.snapshots import SnapshotStore
+
+    weights = {}
+    for part in args.splits.split(","):
+        name, _, w = part.partition("=")
+        weights[name.strip()] = float(w)
+    spark = get_spark(master=args.master, app_name="puddin_spark.export")
+    store = SnapshotStore(f"{args.dest}/verdicts")
+    verdicts = store.read(spark)
+    if verdicts is None:
+        print(json.dumps({"ok": False, "error": "no committed verdicts"}))
+        spark.stop()
+        return 2
+    docs = (
+        verdicts.filter("keep")
+        .select("doc_id", "url", "lang", "clean_text")
+        .withColumn("n_tokens", token_count_col("clean_text").cast("bigint"))
+    )
+    if args.budget:
+        docs = token_budget_sample(docs, args.budget, "n_tokens", salt=args.salt)
+    docs = hash_split(docs, weights, salt=args.salt)
+    out_dir = args.out or f"{args.dest}/export"
+    # pack each split as its own token stream (splits train separately;
+    # a shared stream would interleave val docs into train windows)
+    packed = None
+    for name in weights:
+        part = pack_sequences(
+            docs.where(F.col("split") == name), args.seq_len, "n_tokens",
+            salt=args.salt,
+        )
+        packed = part if packed is None else packed.unionByName(part)
+    packed.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    # summarize from the written plan, not a re-read: an all-filtered
+    # export (e.g. a budget smaller than the first stream doc) writes an
+    # empty partitioned dir, which parquet cannot re-infer a schema from
+    rows = (
+        packed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            (F.max("pack_id") + 1).alias("packs"),
+        )
+        .collect()
+    )
+    print(
+        json.dumps(
+            {
+                "ok": True,
+                "out": out_dir,
+                "seq_len": args.seq_len,
+                "splits": {
+                    r["split"]: {
+                        "docs": r["docs"],
+                        "tokens": r["tokens"],
+                        "packs": r["packs"],
+                    }
+                    for r in rows
+                },
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="puddin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -268,6 +351,7 @@ def main(argv: list[str] | None = None) -> int:
         ("stats", cmd_stats),
         ("overview", cmd_overview),
         ("compact", cmd_compact),
+        ("export", cmd_export),
     ]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
@@ -293,6 +377,30 @@ def main(argv: list[str] | None = None) -> int:
                 default=None,
                 help="csv/parquet of triaged (url, violation) rows; matching"
                 " violations are flagged known_fail and don't fail the run",
+            )
+        if name == "export":
+            sp.add_argument(
+                "--splits",
+                default="train=0.9,val=0.05,test=0.05",
+                help="name=weight list for splits.hash_split",
+            )
+            sp.add_argument(
+                "--seq-len", type=int, default=2048, dest="seq_len",
+                help="tokens per packed training sequence",
+            )
+            sp.add_argument(
+                "--budget", type=int, default=0,
+                help="exact token budget BEFORE splitting (0 = whole"
+                " corpus); prefix property: growing it only adds docs",
+            )
+            sp.add_argument(
+                "--salt", default="v1",
+                help="salt for budget/split/pack determinism — change to"
+                " draw an independent shuffle/split",
+            )
+            sp.add_argument(
+                "--out", default=None,
+                help="output dir (default <dest>/export)",
             )
         if name == "run":
             sp.add_argument("--limit", type=int, default=0)

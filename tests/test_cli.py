@@ -132,3 +132,60 @@ def test_cli_run_html_fallback_and_blocklist(tmp_path, spark):
     )
     code, val = _run(["validate", "-i", pages_dir, "-d", dest, "--master", "local[4]"])
     assert code == 0 and val["ok"], val
+
+
+def test_cli_export_packs_splits(tmp_path, spark):
+    """export: kept verdicts -> split -> per-split packing -> parquet
+    partitioned by split; summary tokens add up to the kept corpus; pack
+    layout per split is a contiguous stream; --budget cuts the corpus and
+    keeps the prefix property (budget docs are a subset of the full
+    export)."""
+    dest = str(tmp_path / "out")
+    code, out = _run(
+        ["run", "-i", JSONL, "-d", dest, "--partitions", "2", "--master", "local[4]"]
+    )
+    assert code == 0 and out["total_keep"] == 8
+    code, ex = _run(
+        ["export", "-d", dest, "--master", "local[4]", "--seq-len", "64",
+         "--splits", "train=0.8,val=0.2"]
+    )
+    assert code == 0 and ex["ok"]
+    assert sum(s["docs"] for s in ex["splits"].values()) == 8
+    df = spark.read.parquet(ex["out"])
+    assert set(df.columns) >= {
+        "doc_id", "url", "lang", "clean_text", "n_tokens", "split",
+        "pack_id", "pack_offset",
+    }
+    rows = df.collect()
+    assert len(rows) == 8 and {r.split for r in rows} <= {"train", "val"}
+    for split in {r.split for r in rows}:
+        part = sorted(
+            (r for r in rows if r.split == split),
+            key=lambda r: (r.pack_id, r.pack_offset, r.doc_id),
+        )
+        pos = 0
+        for r in part:
+            assert r.pack_id * 64 + r.pack_offset == pos
+            pos += r.n_tokens
+    # budgeted export selects a non-empty strict subset with the same salt
+    # (corpus is 1725 tokens over 8 docs, largest 580: the first stream doc
+    # always fits in 1200, and at least one doc must fall out)
+    code, ex2 = _run(
+        ["export", "-d", dest, "--master", "local[4]", "--seq-len", "64",
+         "--splits", "train=0.8,val=0.2", "--budget", "1200",
+         "--out", str(tmp_path / "exp2")]
+    )
+    assert code == 0 and ex2["ok"]
+    sub = {r.doc_id for r in spark.read.parquet(ex2["out"]).collect()}
+    assert set() < sub < {r.doc_id for r in rows}
+    assert sum(r.n_tokens for r in rows if r.doc_id in sub) <= 1200
+    # a budget under the smallest doc keeps nothing — still a clean exit
+    # (empty partitioned parquet is summarized from the plan, not re-read)
+    code, ex3 = _run(
+        ["export", "-d", dest, "--master", "local[4]", "--budget", "10",
+         "--out", str(tmp_path / "exp3")]
+    )
+    assert code == 0 and ex3["ok"] and ex3["splits"] == {}
+    # no store -> loud error
+    code, err = _run(["export", "-d", str(tmp_path / "nope"), "--master", "local[4]"])
+    assert code == 2 and "error" in err
