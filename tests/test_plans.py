@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from puddin_spark.plans import executed_plan as _plan
-from puddin_spark.queries import SPARK_QUERIES
+from puddin_spark.queries import ALL_QUERIES as SPARK_QUERIES  # plan pins cover driver + local gates
 
 SF = "/root/testdata/sf0.01"
 
