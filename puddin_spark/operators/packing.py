@@ -84,12 +84,18 @@ def with_global_prefix_sum(
         .orderBy("_hx", key_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    numbered = (
-        parted.join(F.broadcast(odf), "_gpid")
-        .withColumn(start_col, F.sum("_v").over(w) + F.col("_goff") - F.col("_v"))
-        .select(key_col, start_col)
+    numbered = parted.join(F.broadcast(odf), "_gpid").withColumn(
+        start_col, F.sum("_v").over(w) + F.col("_goff") - F.col("_v")
     )
-    return df.join(numbered, key_col)
+    if set(df.columns) == {key_col, value_col}:
+        # thin input (the packing/budget gates project to (key, tokens)
+        # before calling): the numbered rows already carry everything —
+        # skip the join-back, which otherwise costs two more full
+        # shuffles of the corpus
+        return numbered.select(
+            key_col, F.col("_v").alias(value_col), start_col
+        )
+    return df.join(numbered.select(key_col, start_col), key_col)
 
 
 def pack_sequences(
