@@ -404,6 +404,69 @@ def apply_decontamination_gate(
     return out.select(*keep_cols)
 
 
+def repeated_spans(
+    docs: DataFrame,
+    *,
+    window: int = 50,
+    min_docs: int = 2,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """Cross-document repeated-span detection — the hashed-window
+    approximation of exact substring deduplication (Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*, which
+    removes verbatim 50-token spans repeated across documents; their
+    suffix array is replaced here by span hashing, the standard
+    distributed approximation). Returns (id, pos, span_hash) for every
+    length-`window` token span whose hash occurs in >= `min_docs`
+    DISTINCT documents; `pos` is the 1-based token index of the span
+    start. Downstream policy decides what to do with the flagged spans
+    (mask them, trim them, or drop documents past a threshold).
+
+    Scale shape: the explode emits (id, pos, hash) rows only — with
+    hash_impl='xxhash64' that is ~24 bytes/span, so a stride-1 sweep of a
+    d-token document costs ~24*(d-window) shuffle bytes, NOT a copy of
+    the text. The duplicate-hash set comes from one map-side-combined
+    groupBy; the flag join is a shuffle equi-join on the hash (the dup
+    set is corpus-dependent — broadcast only if measured small). `stride`
+    > 1 subsamples span starts to cut the explode factor; spans aligned
+    differently than the stride in different documents are then missed
+    (recall/cost trade documented at call sites). hash_impl='md5' exists
+    for engine-parity oracles, mirroring minhash's hash_impl contract.
+    """
+    if window < 1 or stride < 1 or min_docs < 2:
+        raise ValueError(
+            f"window/stride must be >=1, min_docs >=2: {window}/{stride}/{min_docs}"
+        )
+    if hash_impl not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_impl: {hash_impl}")
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    gram = f"concat_ws(' ', slice({toks}, i, {window}))"
+    h = f"md5({gram})" if hash_impl == "md5" else f"xxhash64({gram})"
+    spans = docs.where(F.expr(f"size({toks}) >= {window}")).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size({toks}) - {window} + 1, {stride}),"
+                f" i -> {h})"
+            )
+        ).alias("_p", "span_hash"),
+    )
+    # posexplode is 0-based over the stride lattice; recover token index
+    spans = spans.select(
+        "id", (F.col("_p") * stride + 1).alias("pos"), "span_hash"
+    )
+    dup = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("span_hash")
+    )
+    return spans.join(dup, "span_hash").select("id", "pos", "span_hash")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

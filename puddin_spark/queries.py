@@ -879,6 +879,50 @@ group by id
 """
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Cross-document repeated-span detection (dedup.repeated_spans) —
+    the ExactSubstr convention (Lee et al. 2022) at a 15-token window.
+    The word-soup corpus has no natural cross-doc spans, so both engines
+    union in a PREFIX-SHIFTED copy of every 20th document ('qq zz ' +
+    text, doc_id + 100000): every window in the original is repeated in
+    the copy two token positions later, which makes the (id, pos)
+    alignment itself part of the check. hash_impl='md5' for engine
+    parity (production default xxhash64: 24-byte shuffle rows)."""
+    from puddin_spark.operators import dedup as dedup_ops
+
+    d = read_table(spark, sf_dir, "documents")
+    aug = d.where("doc_id % 20 = 0").selectExpr(
+        "doc_id + 100000 as doc_id", "concat('qq zz ', text) as text"
+    )
+    u = d.select("doc_id", "text").unionByName(aug)
+    out = dedup_ops.repeated_spans(u, window=15, hash_impl="md5")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("pos").cast("bigint").alias("pos"),
+        "span_hash",
+    )
+
+
+O_REPEATED_SPANS = """
+with u as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000, 'qq zz ' || text from documents
+  where doc_id % 20 = 0),
+toks as (
+  select doc_id, string_split_regex(trim(text), '\\s+') as t from u),
+spans as (
+  select doc_id as id, cast(i as bigint) as pos,
+         md5(array_to_string(t[i:i+14], ' ')) as h
+  from toks cross join lateral (
+    select unnest(range(1, len(t) - 15 + 2)) as i) r
+  where len(t) >= 15),
+d as (select h from spans group by h having count(distinct id) >= 2)
+select s.id as doc_id, s.pos, s.h as span_hash
+from spans s join d using (h)
+"""
+
+
 def q_vocab_counts(spark, sf_dir):
     """Corpus vocabulary building (the BPE/tokenizer-training precursor):
     global token frequencies, top 200 by (count desc, token) — the
@@ -2414,6 +2458,7 @@ LOCAL_QUERIES = {
     "perplexity_buckets": q_perplexity_buckets,
     "pack_sequences": q_pack_sequences,
     "token_budget": q_token_budget,
+    "repeated_spans": q_repeated_spans,
 }
 
 # Union for local replay + bench lookups.
@@ -2472,6 +2517,7 @@ def oracle_queries() -> dict[str, str]:
         "importance_scores": _oracle_importance(),
         "pack_sequences": O_PACK_SEQUENCES,
         "token_budget": O_TOKEN_BUDGET,
+        "repeated_spans": O_REPEATED_SPANS,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

@@ -1112,3 +1112,40 @@ def test_token_budget_prefix_property(spark):
     assert again == small
     with pytest.raises(ValueError, match="non-negative"):
         token_budget_sample(d, -1, "toks")
+
+
+def test_repeated_spans_positions_and_stride(spark):
+    """repeated_spans: a 5-token run shared by two docs at DIFFERENT
+    positions yields exactly the aligned window hits at each doc's own
+    positions; singleton spans never flag; stride subsamples the start
+    lattice; xxhash64 and md5 flag identical (id, pos) sets."""
+    import pytest
+    from puddin_spark.operators.dedup import repeated_spans
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # shared run c..g at pos 3
+            (2, "x y c d e f g z w"),        # shared run c..g at pos 3
+            (3, "p q r s t u v"),            # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_spans(d, window=3, hash_impl="md5")
+    got = {(r.id, r.pos) for r in out.collect()}
+    # windows of 'c d e f g': starts at c,d,e -> doc1 pos 3,4,5 / doc2 pos 3,4,5
+    assert got == {(1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5)}
+    alt = {
+        (r.id, r.pos)
+        for r in repeated_spans(d, window=3, hash_impl="xxhash64").collect()
+    }
+    assert alt == got
+    # stride 2 keeps only starts 1,3,5,... -> pos 4 hits disappear
+    s2 = {
+        (r.id, r.pos)
+        for r in repeated_spans(d, window=3, stride=2, hash_impl="md5").collect()
+    }
+    assert s2 == {(1, 3), (1, 5), (2, 3), (2, 5)}
+    with pytest.raises(ValueError, match="min_docs"):
+        repeated_spans(d, window=0)
+    with pytest.raises(ValueError, match="hash_impl"):
+        repeated_spans(d, hash_impl="sha1")
