@@ -467,6 +467,111 @@ def repeated_spans(
     return spans.join(dup, "span_hash").select("id", "pos", "span_hash")
 
 
+def trim_repeated_spans(
+    docs: DataFrame,
+    *,
+    window: int = 50,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_impl: str = "xxhash64",
+    out_col: str = "trimmed_text",
+) -> DataFrame:
+    """Remove all-but-first occurrences of cross-document repeated spans
+    — Lee et al. 2022's keep-one policy over `repeated_spans` flags.
+    Occurrences of each duplicated span hash are ranked by (id, pos); the
+    rank-1 occurrence survives, every other occurrence contributes its
+    [pos, pos+window) token interval to that document's removal set, and
+    the document text is rebuilt without the removed tokens (overlapping
+    intervals union naturally at the token-mask level).
+
+    Output adds `out_col` = the trimmed text, single-space re-joined —
+    EVERY document is rebuilt from its token array, so the transform
+    normalizes runs of whitespace even where nothing was removed (this
+    pipeline's scrub stages guarantee single-spaced input already).
+
+    Scale shape: the heavy flow is `repeated_spans` (24-byte span rows);
+    the rank window shuffles flagged spans only, removal starts aggregate
+    to one array per affected document, and the rebuild is a JVM
+    higher-order filter (token x removal-interval test — interpreted
+    lambda, O(tokens * removals) per doc; documents with pathological
+    removal counts are exactly the near-fully-duplicated ones, which a
+    doc-level gate should have dropped first)."""
+    spans = repeated_spans(
+        docs,
+        window=window,
+        min_docs=2,
+        stride=stride,
+        id_col=id_col,
+        text_col=text_col,
+        hash_impl=hash_impl,
+    )
+    rank_w = Window.partitionBy("span_hash").orderBy("id", "pos")
+    removals = (
+        spans.withColumn("_rn", F.row_number().over(rank_w))
+        .where(F.col("_rn") > 1)
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    rebuild = (
+        f"concat_ws(' ', transform(filter("
+        f"transform({toks}, (x, i) -> named_struct('w', x, 'i', i + 1)),"
+        f" t -> NOT exists(coalesce(_starts, array()),"
+        f" s -> t.i >= s AND t.i < s + {window})), t -> t.w))"
+    )
+    return (
+        docs.join(
+            removals.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn(out_col, F.expr(rebuild))
+        .drop("_starts")
+    )
+
+
+def apply_repeated_span_gate(
+    verdicts: DataFrame,
+    *,
+    window: int = 50,
+    max_flagged: int = 0,
+    stride: int = 1,
+    text_col: str = "clean_text",
+) -> DataFrame:
+    """Repeated-span hygiene as a doc-level verdict gate (the
+    apply_quality_gate/apply_decontamination_gate contract): kept docs
+    with MORE than `max_flagged` duplicated-span occurrences flip to
+    keep=false with excl_type='dup_spans' (clean_text nulled);
+    already-dropped docs pass through untouched. The RefinedWeb-style
+    document-drop policy — use `trim_repeated_spans` instead when the
+    policy is to salvage documents by cutting the spans out."""
+    flagged = (
+        repeated_spans(
+            verdicts.filter("keep").select("doc_id", text_col),
+            window=window,
+            min_docs=2,
+            stride=stride,
+            id_col="doc_id",
+            text_col=text_col,
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_nspans"))
+        .where(F.col("_nspans") > max_flagged)
+        .select(F.col("id").alias("doc_id"), F.lit(True).alias("_dup"))
+    )
+    keep_cols = verdicts.columns
+    out = verdicts.join(flagged, "doc_id", "left").select(
+        *[c for c in keep_cols if c not in ("keep", "excl_type", text_col)],
+        F.when(F.col("_dup"), F.lit(None).cast("string"))
+        .otherwise(F.col(text_col))
+        .alias(text_col),
+        (F.col("keep") & F.col("_dup").isNull()).alias("keep"),
+        F.when(F.col("_dup"), F.lit("dup_spans"))
+        .otherwise(F.col("excl_type"))
+        .alias("excl_type"),
+    )
+    return out.select(*keep_cols)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

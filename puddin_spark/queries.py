@@ -923,6 +923,63 @@ from spans s join d using (h)
 """
 
 
+def q_trim_repeated_spans(spark, sf_dir):
+    """Keep-one span removal (dedup.trim_repeated_spans) over the same
+    prefix-shifted duplicate injection as repeated_spans: rank-1
+    occurrences (the lower doc_id — here always the original) keep their
+    text; every other occurrence's [pos, pos+15) token interval is cut,
+    so each injected copy collapses to its 'qq zz' prefix while all
+    originals survive verbatim (modulo the single-space re-join both
+    engines apply uniformly). The oracle replays the rank window and the
+    token-interval NOT EXISTS mask row-by-row."""
+    from puddin_spark.operators import dedup as dedup_ops
+
+    d = read_table(spark, sf_dir, "documents")
+    aug = d.where("doc_id % 20 = 0").selectExpr(
+        "doc_id + 100000 as doc_id", "concat('qq zz ', text) as text"
+    )
+    u = d.select("doc_id", "text").unionByName(aug)
+    out = dedup_ops.trim_repeated_spans(u, window=15, hash_impl="md5")
+    return out.select("doc_id", "trimmed_text")
+
+
+O_TRIM_REPEATED_SPANS = """
+with u as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 100000, 'qq zz ' || text from documents
+  where doc_id % 20 = 0),
+toks as (
+  select doc_id, string_split_regex(trim(text), '\\s+') as t from u),
+spans as (
+  select doc_id as id, cast(i as bigint) as pos,
+         md5(array_to_string(t[i:i+14], ' ')) as h
+  from toks cross join lateral (
+    select unnest(range(1, len(t) - 15 + 2)) as i) r
+  where len(t) >= 15),
+d as (select h from spans group by h having count(distinct id) >= 2),
+f as (
+  select s.id, s.pos,
+         row_number() over (partition by s.h order by s.id, s.pos) as rn
+  from spans s join d using (h)),
+rem as (select id, pos from f where rn > 1),
+tokrows as (
+  select doc_id as id, cast(i as bigint) as i, t[i] as x
+  from toks cross join lateral (
+    select unnest(range(1, len(t) + 1)) as i) r),
+keep as (
+  select k.id, k.i, k.x from tokrows k
+  where not exists (
+    select 1 from rem r
+    where r.id = k.id and k.i >= r.pos and k.i < r.pos + 15)),
+agg as (
+  select id, string_agg(x, ' ' order by i) as trimmed_text
+  from keep group by id)
+select u.doc_id, coalesce(a.trimmed_text, '') as trimmed_text
+from u left join agg a on a.id = u.doc_id
+"""
+
+
 def q_vocab_counts(spark, sf_dir):
     """Corpus vocabulary building (the BPE/tokenizer-training precursor):
     global token frequencies, top 200 by (count desc, token) — the
@@ -2459,6 +2516,7 @@ LOCAL_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "token_budget": q_token_budget,
     "repeated_spans": q_repeated_spans,
+    "trim_repeated_spans": q_trim_repeated_spans,
 }
 
 # Union for local replay + bench lookups.
@@ -2518,6 +2576,7 @@ def oracle_queries() -> dict[str, str]:
         "pack_sequences": O_PACK_SEQUENCES,
         "token_budget": O_TOKEN_BUDGET,
         "repeated_spans": O_REPEATED_SPANS,
+        "trim_repeated_spans": O_TRIM_REPEATED_SPANS,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

@@ -1149,3 +1149,54 @@ def test_repeated_spans_positions_and_stride(spark):
         repeated_spans(d, window=0)
     with pytest.raises(ValueError, match="hash_impl"):
         repeated_spans(d, hash_impl="sha1")
+
+
+def test_trim_repeated_spans_keep_first(spark):
+    """trim_repeated_spans: the rank-1 (lowest id, pos) occurrence keeps
+    its text; later occurrences lose the union of their flagged
+    [pos, pos+window) intervals; untouched docs survive (re-joined)."""
+    from puddin_spark.operators.dedup import trim_repeated_spans
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y c d e f g z w"),
+            (3, "p q r s t u v"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.trimmed_text for r in trim_repeated_spans(
+        d, window=3, hash_impl="md5"
+    ).collect()}
+    assert out[1] == "a b c d e f g h"      # first occurrence: untouched
+    assert out[2] == "x y z w"              # tokens 3..7 (c..g) removed
+    assert out[3] == "p q r s t u v"        # no flags: identity re-join
+
+
+def test_apply_repeated_span_gate_flips_kept_docs(spark):
+    """apply_repeated_span_gate: kept docs with more than max_flagged
+    duplicated spans flip to excl_type='dup_spans' (clean_text nulled);
+    dropped docs and clean docs pass through untouched."""
+    from puddin_spark.operators.dedup import apply_repeated_span_gate
+
+    v = spark.createDataFrame(
+        [
+            ("d1", "one two three four five six", True, None),
+            ("d2", "zz one two three four five qq", True, None),
+            ("d3", "totally different words here", True, None),
+            ("d4", "one two three four five six", False, "punc"),
+        ],
+        "doc_id string, clean_text string, keep boolean, excl_type string",
+    )
+    out = {r.doc_id: r for r in apply_repeated_span_gate(
+        v, window=4, max_flagged=0
+    ).collect()}
+    # d1 and d2 share the 4-token windows of 'one two three four five';
+    # both kept docs flip (the gate drops ALL flagged members — keep-one
+    # salvage is trim_repeated_spans' job)
+    assert out["d1"].keep is False and out["d1"].excl_type == "dup_spans"
+    assert out["d1"].clean_text is None
+    assert out["d2"].keep is False and out["d2"].excl_type == "dup_spans"
+    assert out["d3"].keep is True and out["d3"].excl_type is None
+    assert out["d4"].keep is False and out["d4"].excl_type == "punc"
+    assert out["d4"].clean_text == "one two three four five six"
