@@ -2436,6 +2436,25 @@ SPARK_QUERIES = {
     # union_accumulate, top_event_per_user, events_pivot, and
     # dup_detection_window (windowing stays driver-exercised via
     # dedup_exact_first's WindowGroupLimit and domain_cap).
+    # r5-late rotation: the seven session-3 additions (deterministic source
+    # mixing, DSIR importance, perplexity tiering, sequence packing, token
+    # budgeting, ExactSubstr repeated spans + trimming) lead so they get
+    # driver-verified this round. Seven r4-verified entries whose operators
+    # stay hard-checked elsewhere rotate to LOCAL_QUERIES: tpch_q18
+    # (join/agg shapes stay via q1/q5/q6), salted_rule_counts
+    # (rule_hit_counts keeps the agg), sentence_stats_rollup (stats_rollup +
+    # lemma_stats_rollup keep the rollup), media_frames (multimodal_meta +
+    # media_near_dup keep multimodal), dedup_canonical_url
+    # (dedup_exact_first + url_canonicalize keep both halves),
+    # sentence_segment (conllu_annotated re-splits sentences), and
+    # ann_cosine_topk (ann_ivf_topk + embedding_near_dup keep ANN).
+    "stratified_sample": q_stratified_sample,
+    "importance_scores": q_importance_scores,
+    "perplexity_buckets": q_perplexity_buckets,
+    "pack_sequences": q_pack_sequences,
+    "token_budget": q_token_budget,
+    "repeated_spans": q_repeated_spans,
+    "trim_repeated_spans": q_trim_repeated_spans,
     "toxicity_scores": q_toxicity_scores,
     "media_near_dup": q_media_near_dup,
     "decontaminate_eval": q_decontaminate,
@@ -2459,12 +2478,10 @@ SPARK_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
-    "tpch_q18": q_tpch_q18,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_resolution": q_neardup_resolution,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "incremental_srp_pairs": q_incremental_srp_pairs,
     "quality_scores": q_quality_scores,
@@ -2473,17 +2490,12 @@ SPARK_QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "domain_blocklist": q_domain_blocklist,
     "quality_gate": q_quality_gate,
-    "dedup_canonical_url": q_dedup_canonical_url,
     "langid_heuristic": q_langid_heuristic,
     "multimodal_meta": q_multimodal_meta,
-    "media_frames": q_media_frames,
-    "sentence_segment": q_sentence_segment,
     "pii_scrub": q_pii_scrub,
     "model_langid": q_model_langid,
     "model_perplexity": q_model_perplexity,
-    "sentence_stats_rollup": q_sentence_stats_rollup,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "salted_rule_counts": q_salted_rule_counts,
     "boilerplate_lines": q_boilerplate_lines,
     "repetition_scores": q_repetition_scores,
 }
@@ -2493,6 +2505,16 @@ SPARK_QUERIES = {
 # simhash_values; embedding_near_dup + incremental_srp_pairs consume
 # srp_buckets; events_pivot covers the hourly-bucket scalar path).
 LOCAL_QUERIES = {
+    # r5-late rotation out of the driver 50 (swapped for the seven
+    # session-3 gates above); all seven stay bit-exact via the local
+    # oracle replay at both SFs (tests/test_queries.py)
+    "tpch_q18": q_tpch_q18,
+    "salted_rule_counts": q_salted_rule_counts,
+    "sentence_stats_rollup": q_sentence_stats_rollup,
+    "media_frames": q_media_frames,
+    "dedup_canonical_url": q_dedup_canonical_url,
+    "sentence_segment": q_sentence_segment,
+    "ann_cosine_topk": q_ann_cosine_topk,
     "simhash_values": q_simhash_values,
     "srp_buckets": q_srp_buckets,
     "events_hourly": q_events_hourly,
@@ -2507,16 +2529,6 @@ LOCAL_QUERIES = {
     "top_event_per_user": q_top_event_per_user,
     "events_pivot": q_events_pivot,
     "dup_detection_window": q_dup_detection_window,
-    # r5 late additions (never driver-verified — rotate into the driver 50
-    # in r6): deterministic source mixing, DSIR-style data selection, and
-    # CCNet-style perplexity tiering
-    "stratified_sample": q_stratified_sample,
-    "importance_scores": q_importance_scores,
-    "perplexity_buckets": q_perplexity_buckets,
-    "pack_sequences": q_pack_sequences,
-    "token_budget": q_token_budget,
-    "repeated_spans": q_repeated_spans,
-    "trim_repeated_spans": q_trim_repeated_spans,
 }
 
 # Union for local replay + bench lookups.
