@@ -94,3 +94,87 @@ def stratified_sample(
     dthr = F.lit(int(round(GRANULARITY * default)))
     thr = dthr if thr is None else thr.otherwise(dthr)
     return df.where(bucket < thr)
+
+
+def temperature_fractions(counts: dict[str, int], alpha: float) -> dict[str, float]:
+    """Per-stratum keep fractions that flatten the size distribution with
+    temperature `alpha` (the multilingual-pretraining mixing rule of
+    XLM-R / mT5: sample stratum d with probability proportional to
+    count_d**alpha). A filter can only DOWNsample, so fractions are
+    normalized to give the smallest stratum fraction 1.0:
+
+        f_d = (c_min / c_d) ** (1 - alpha)
+
+    alpha=1 keeps everything (natural distribution); alpha=0 equalizes
+    expected counts across strata. Pure driver-side floats quantized onto
+    the md5 lattice by the caller, so engines agree bit-for-bit."""
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha outside [0,1]: {alpha}")
+    if not counts:
+        return {}
+    if any(c <= 0 for c in counts.values()):
+        raise ValueError(f"stratum counts must be positive: {counts}")
+    c_min = min(counts.values())
+    return {d: (c_min / c) ** (1.0 - alpha) for d, c in counts.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Temperature-flatten the corpus mix across `strata_col` (languages,
+    source domains): downsample each stratum to `temperature_fractions`
+    of its size, decided per row by the deterministic md5 bucket lattice
+    of `stratified_sample`. When `counts` is None they are computed with
+    one tiny groupBy-count collect (bounded by the number of strata, the
+    same driver-side shape as IVF centroid training); at 10^12 documents
+    pass pre-computed counts from table statistics instead. Membership is
+    a pure function of (counts, alpha, key, salt) — reproducible across
+    runs, engines, and cluster sizes."""
+    if counts is None:
+        rows = df.groupBy(strata_col).count().collect()
+        counts = {r[strata_col]: r["count"] for r in rows}
+    fracs = temperature_fractions(counts, alpha)
+    return stratified_sample(
+        df, fracs, strata_col=strata_col, key_col=key_col, salt=salt, default=0.0
+    )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    shard_size: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle + fixed-size sharding for training
+    export: order documents by md5(key || salt) (a reproducible
+    permutation, unlike orderBy(rand()) whose layout changes with
+    partitioning) and assign
+
+      - `shard_id`  — zero-based shard index (shard_size docs per shard;
+                      only the last shard is short)
+      - `shard_pos` — the document's position within its shard
+
+    Built on the two-phase global prefix sum over value 1 (operators.
+    packing.with_global_prefix_sum), so there is no single-task sort: a
+    thin (key, hash) projection range-partitions, per-partition counts
+    are collected as broadcast offsets, and the rank is partition-local
+    arithmetic — the same numbers at any parallelism."""
+    from puddin_spark.operators.packing import with_global_prefix_sum
+
+    if shard_size <= 0:
+        raise ValueError(f"shard_size must be positive: {shard_size}")
+    thin = df.withColumn("_one", F.lit(1))
+    out = with_global_prefix_sum(
+        thin, "_one", key_col, salt, num_partitions=num_partitions
+    )
+    return (
+        out.withColumn("shard_id", F.expr(f"_start div {shard_size}"))
+        .withColumn("shard_pos", (F.col("_start") % shard_size).cast("bigint"))
+        .drop("_start", "_one")
+    )

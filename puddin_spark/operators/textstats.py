@@ -198,6 +198,110 @@ def apply_toxicity_gate(
     return out.select(*keep_cols)
 
 
+# Gopher / MassiveText (Rae et al. 2021, table A1) document-quality rules.
+# The eight required stopwords of the original rule set.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_GW_ARRAY = "array(" + ",".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS) + ")"
+
+
+def gopher_columns(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Attach the Gopher/MassiveText document-quality signals and the
+    combined verdict. One pure-codegen scan (split/filter/size built-ins,
+    no Python, no shuffle); every expression has a mechanical DuckDB twin.
+
+      - n_words, mean_word_len        (whitespace words)
+      - hash_word_ratio               '#' occurrences / words       (<=0.1)
+      - ellipsis_word_ratio           '...' occurrences / words     (<=0.1)
+      - bullet_line_frac              lines starting '- ' or '*'    (<=0.9)
+      - ellipsis_line_frac            lines ending '...'            (<=0.3)
+      - alpha_word_frac               words with an a-z char        (>=0.8)
+      - n_required_words              of GOPHER_REQUIRED_WORDS      (>=2)
+      - gopher_keep                   all rules pass
+
+    Thresholds and word list are the published rule set; word-count
+    bounds are parameters because corpus token conventions differ."""
+    toks = tokens_expr(text_col)
+    lines = f"filter(split({text_col}, '\\n'), l -> trim(l) <> '')"
+    n_words = f"size({toks})"
+    nz = f"greatest({n_words}, 1)"
+    n_lines = f"greatest(size({lines}), 1)"
+    hash_ratio = (
+        f"cast(size(regexp_extract_all({text_col}, '#', 0)) as double) / {nz}"
+    )
+    ell_ratio = (
+        f"cast(size(regexp_extract_all({text_col}, '\\\\.\\\\.\\\\.', 0)) as double) / {nz}"
+    )
+    bullet_frac = (
+        f"cast(size(filter({lines}, l -> left(trim(l), 2) = '- '"
+        f" or left(trim(l), 1) = '*')) as double) / {n_lines}"
+    )
+    ell_line_frac = (
+        f"cast(size(filter({lines}, l -> right(trim(l), 3) = '...')) as double)"
+        f" / {n_lines}"
+    )
+    alpha_frac = (
+        f"cast(size(filter({toks}, w -> w rlike '[a-z]')) as double) / {nz}"
+    )
+    n_req = f"size(filter({_GW_ARRAY}, s -> array_contains({toks}, s)))"
+    out = (
+        df.withColumn("n_words", F.expr(n_words))
+        .withColumn("mean_word_len", F.round(mean_word_len_col(text_col), 6))
+        .withColumn("hash_word_ratio", F.round(F.expr(hash_ratio), 6))
+        .withColumn("ellipsis_word_ratio", F.round(F.expr(ell_ratio), 6))
+        .withColumn("bullet_line_frac", F.round(F.expr(bullet_frac), 6))
+        .withColumn("ellipsis_line_frac", F.round(F.expr(ell_line_frac), 6))
+        .withColumn("alpha_word_frac", F.round(F.expr(alpha_frac), 6))
+        .withColumn("n_required_words", F.expr(n_req))
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("hash_word_ratio") <= 0.1)
+        & (F.col("ellipsis_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_required_words") >= 2)
+    )
+    return out.withColumn("gopher_keep", keep)
+
+
+def apply_gopher_gate(
+    verdicts: DataFrame,
+    text_col: str = "clean_text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher rule battery composing AFTER the puddin rules (mirror of
+    apply_quality_gate): kept docs failing any MassiveText rule flip to
+    keep=false with excl_type='gopher' (clean_text nulled per the verdict
+    contract). Pure codegen projection — no shuffle, no Python."""
+    keep_cols = verdicts.columns
+    scored = gopher_columns(
+        verdicts, text_col, min_words=min_words, max_words=max_words
+    )
+    bad = F.col("keep") & ~F.col("gopher_keep")
+    out = scored.withColumn("_gbad", bad).select(
+        *[c for c in keep_cols if c not in ("keep", "excl_type", text_col)],
+        F.when(F.col("_gbad"), F.lit(None).cast("string"))
+        .otherwise(F.col(text_col))
+        .alias(text_col),
+        (F.col("keep") & ~F.col("_gbad")).alias("keep"),
+        F.when(F.col("_gbad"), F.lit("gopher"))
+        .otherwise(F.col("excl_type"))
+        .alias("excl_type"),
+    )
+    return out.select(*keep_cols)
+
+
 def perplexity_buckets(
     df: DataFrame,
     ppl_col: str = "ppl",

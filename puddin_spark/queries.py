@@ -1498,6 +1498,168 @@ where pct < case lang when 'en' then 5000 when 'es' then 2500 else 1000 end
 """
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing (splits.temperature_mix,
+    alpha=0.5): downsample each language toward the smallest one with
+    keep fraction (c_min/c_d)^(1-alpha) — the XLM-R/mT5 multilingual
+    mixing rule — decided per row by the engine-portable md5 lattice.
+    Counts come from one tiny groupBy-count collect; the oracle refits
+    the identical fractions in pure Python from the same parquet and
+    inlines the integer thresholds."""
+    from puddin_spark.operators.splits import temperature_mix
+
+    d = read_table(spark, sf_dir, "documents")
+    out = temperature_mix(d, alpha=0.5, strata_col="lang", salt="tm1")
+    return out.select("doc_id", "lang")
+
+
+def _oracle_temperature_mix() -> str:
+    sf = os.environ.get("PUDDIN_TEST_SF_DIR", "/root/testdata/sf0.01")
+    return _oracle_temperature_mix_for(sf)
+
+
+@lru_cache(maxsize=8)
+def _oracle_temperature_mix_for(sf: str) -> str:
+    """Independent refit: stratum counts via DuckDB, the same
+    temperature_fractions + int(round(GRANULARITY*f)) quantization as the
+    Spark path, thresholds inlined as a CASE — any drift in the fraction
+    formula or quantization breaks the hash match. Memoized per SF dir
+    (oracle_queries() is rebuilt once per replayed gate)."""
+    import duckdb as _duckdb
+
+    from puddin_spark.operators.splits import GRANULARITY, temperature_fractions
+
+    con = _duckdb.connect()
+    rows = con.execute(
+        f"select lang, count(*) from read_parquet('{sf}/documents.parquet')"
+        " group by 1"
+    ).fetchall()
+    con.close()
+    fracs = temperature_fractions({lang: n for lang, n in rows}, alpha=0.5)
+    arms = " ".join(
+        f"when '{lang}' then {int(round(GRANULARITY * f))}"
+        for lang, f in sorted(fracs.items())
+    )
+    hexval = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+    return f"""
+with h as (
+  select doc_id, lang,
+         substr(md5(concat(cast(doc_id as varchar), 'tm1')), 1, 4) as hx
+  from documents),
+v as (
+  select doc_id, lang,
+         (({hexval.format(i=1)}) * 4096 + ({hexval.format(i=2)}) * 256
+          + ({hexval.format(i=3)}) * 16 + ({hexval.format(i=4)})) % 10000
+           as pct
+  from h)
+select doc_id, lang from v
+where pct < case lang {arms} else 0 end
+"""
+
+
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic global shuffle + fixed-size sharding for training
+    export (splits.shard_shuffle, 64 docs/shard): md5(key||salt) order
+    realized by the two-phase global prefix sum — no single-task sort,
+    same shard layout at any parallelism. The oracle is the naive
+    single-window row_number over the same order, which the two-phase
+    scheme must match bit-for-bit."""
+    from puddin_spark.operators.splits import shard_shuffle
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_shuffle(d, shard_size=64, salt="sh1").select(
+        "doc_id", "shard_id", "shard_pos"
+    )
+
+
+O_SHARD_SHUFFLE = """
+with r as (
+  select doc_id,
+         row_number() over (
+           order by md5(concat(cast(doc_id as varchar), 'sh1')), doc_id
+         ) - 1 as rk
+  from documents)
+select doc_id,
+       cast(rk // 64 as bigint) as shard_id,
+       cast(rk % 64 as bigint) as shard_pos
+from r
+"""
+
+
+# Gopher-rule injections: the synthetic corpus is single-spaced lowercase
+# word-soup (no '#', no '...', no newlines, never >=2 required stopwords),
+# so each rule gets a deterministic violating cohort, identical SQL in
+# both engines (chr(10) for newlines — engines disagree on '\n' literals).
+_AUG_GOPHER_SQL = (
+    "case"
+    " when doc_id % 7 = 2 then trim(repeat('7 42 ', 30))"
+    " when doc_id % 13 = 5 then"
+    " concat('- aa', chr(10), '- bb', chr(10), '* cc dd ee')"
+    " when doc_id % 11 = 3 then concat(text, ' # # # # # # # # # # # #')"
+    " when doc_id % 17 = 2 then concat(text,"
+    " ' w ... x ... y ... z ... w ... x ... y ... z ... w ... x ... y ... z ...')"
+    " when doc_id % 19 = 4 then concat(text, chr(10), 'read more...')"
+    " when doc_id % 3 < 2 then concat(text, ' the of and')"
+    " else text end"
+)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText document-quality battery
+    (textstats.gopher_columns): the published heuristic rule set — word
+    count and mean-word-length bounds, '#'/'...'-to-word ratios, bullet
+    and ellipsis line fractions, alpha-word fraction, >=2 required
+    stopwords — as one pure-codegen scan plus the combined verdict.
+    Violating cohorts are injected via _AUG_GOPHER_SQL in both engines."""
+    from puddin_spark.operators.textstats import gopher_columns
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_AUG_GOPHER_SQL).alias("text")
+    )
+    return gopher_columns(d, "text").select(
+        "doc_id", "n_words", "mean_word_len", "hash_word_ratio",
+        "ellipsis_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "n_required_words", "gopher_keep",
+    )
+
+
+_GW_LIST = "['the','be','to','of','and','that','have','with']"
+O_GOPHER_RULES = f"""
+with t as (select doc_id, {_AUG_GOPHER_SQL} as text from documents),
+m as (select doc_id, text,
+        string_split_regex(trim(lower(text)), '\\s+') as toks,
+        list_filter(string_split(text, chr(10)), l -> trim(l) <> '') as lines
+      from t),
+s as (select doc_id,
+        cast(len(toks) as int) as n_words,
+        round(cast(list_sum(list_transform(toks, w -> length(w))) as double)
+              / greatest(len(toks), 1), 6) as mean_word_len,
+        round(cast(len(regexp_extract_all(text, '#')) as double)
+              / greatest(len(toks), 1), 6) as hash_word_ratio,
+        round(cast(len(regexp_extract_all(text, '\\.\\.\\.')) as double)
+              / greatest(len(toks), 1), 6) as ellipsis_word_ratio,
+        round(cast(len(list_filter(lines, l -> left(trim(l), 2) = '- '
+                                   or left(trim(l), 1) = '*')) as double)
+              / greatest(len(lines), 1), 6) as bullet_line_frac,
+        round(cast(len(list_filter(lines, l -> right(trim(l), 3) = '...'))
+                   as double)
+              / greatest(len(lines), 1), 6) as ellipsis_line_frac,
+        round(cast(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                   as double)
+              / greatest(len(toks), 1), 6) as alpha_word_frac,
+        cast(len(list_filter({_GW_LIST}, s -> list_contains(toks, s)))
+             as int) as n_required_words
+      from m)
+select *,
+       (n_words >= 50 and n_words <= 100000
+        and mean_word_len >= 3 and mean_word_len <= 10
+        and hash_word_ratio <= 0.1 and ellipsis_word_ratio <= 0.1
+        and bullet_line_frac <= 0.9 and ellipsis_line_frac <= 0.3
+        and alpha_word_frac >= 0.8 and n_required_words >= 2) as gopher_keep
+from s
+"""
+
+
 def q_importance_scores(spark, sf_dir):
     """DSIR-style hashed-unigram importance scoring
     (operators.importance): fit 256-bucket log-likelihood-ratio weights
@@ -2529,6 +2691,12 @@ LOCAL_QUERIES = {
     "top_event_per_user": q_top_event_per_user,
     "events_pivot": q_events_pivot,
     "dup_detection_window": q_dup_detection_window,
+    # r5 session-4 additions (rotate into the driver 50 in r6):
+    # temperature source mixing, deterministic shard shuffle, and the
+    # Gopher/MassiveText quality-rule battery
+    "temperature_mix": q_temperature_mix,
+    "shard_shuffle": q_shard_shuffle,
+    "gopher_rules": q_gopher_rules,
 }
 
 # Union for local replay + bench lookups.
@@ -2589,6 +2757,9 @@ def oracle_queries() -> dict[str, str]:
         "token_budget": O_TOKEN_BUDGET,
         "repeated_spans": O_REPEATED_SPANS,
         "trim_repeated_spans": O_TRIM_REPEATED_SPANS,
+        "temperature_mix": _oracle_temperature_mix(),
+        "shard_shuffle": O_SHARD_SHUFFLE,
+        "gopher_rules": O_GOPHER_RULES,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

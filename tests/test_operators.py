@@ -1200,3 +1200,163 @@ def test_apply_repeated_span_gate_flips_kept_docs(spark):
     assert out["d3"].keep is True and out["d3"].excl_type is None
     assert out["d4"].keep is False and out["d4"].excl_type == "punc"
     assert out["d4"].clean_text == "one two three four five six"
+
+
+def test_temperature_fractions_formula_and_bounds():
+    """temperature_fractions: alpha=1 keeps everything, alpha=0 equalizes
+    expected counts (f_d = c_min/c_d), intermediate alphas interpolate
+    via (c_min/c_d)^(1-alpha); invalid alpha / counts raise."""
+    import pytest
+    from puddin_spark.operators.splits import temperature_fractions
+
+    counts = {"en": 8000, "es": 2000, "de": 500}
+    f1 = temperature_fractions(counts, 1.0)
+    assert f1 == {"en": 1.0, "es": 1.0, "de": 1.0}
+    f0 = temperature_fractions(counts, 0.0)
+    # expected kept counts all equal c_min
+    assert all(abs(counts[d] * f - 500) < 1e-9 for d, f in f0.items())
+    fh = temperature_fractions(counts, 0.5)
+    assert fh["de"] == 1.0
+    assert f0["en"] < fh["en"] < f1["en"]
+    assert temperature_fractions({}, 0.5) == {}
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_fractions(counts, 1.5)
+    with pytest.raises(ValueError, match="positive"):
+        temperature_fractions({"en": 0}, 0.5)
+
+
+def test_temperature_mix_stable_and_flattening(spark):
+    """temperature_mix: membership is a pure function of (counts, alpha,
+    key, salt) — identical under repartitioning and when counts are
+    passed precomputed; alpha=0 brings stratum sizes near the smallest."""
+    from puddin_spark.operators.splits import temperature_mix
+
+    d = spark.range(0, 10500).selectExpr(
+        "id as doc_id",
+        "case when id % 21 < 16 then 'en'"
+        " when id % 21 < 20 then 'es' else 'de' end as lang",
+    )
+    a = {r.doc_id for r in temperature_mix(d, 0.0, salt="x").collect()}
+    b = {
+        r.doc_id
+        for r in temperature_mix(d.repartition(13), 0.0, salt="x").collect()
+    }
+    assert a == b
+    pre = {"en": 8000, "es": 2000, "de": 500}
+    c = {
+        r.doc_id
+        for r in temperature_mix(d, 0.0, salt="x", counts=pre).collect()
+    }
+    assert a == c
+    kept = {"en": 0, "es": 0, "de": 0}
+    for i in a:
+        kept["en" if i % 21 < 16 else "es" if i % 21 < 20 else "de"] += 1
+    # alpha=0: every stratum's kept count lands near c_min=500
+    assert kept["de"] == 500
+    assert abs(kept["en"] - 500) < 90 and abs(kept["es"] - 500) < 90
+    # alpha=1 is the identity mix
+    assert temperature_mix(d, 1.0, salt="x").count() == 10500
+
+
+def test_shard_shuffle_layout_matches_single_window(spark):
+    """shard_shuffle: the two-phase prefix-sum sharding must equal the
+    naive single-task row_number over md5(key||salt) order bit-for-bit,
+    at any parallelism; every shard is exactly shard_size docs except the
+    last; bad shard_size raises."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from puddin_spark.operators.splits import shard_shuffle
+
+    d = spark.range(0, 1234).selectExpr("id as doc_id", "id * 2 as payload")
+    out = shard_shuffle(d, 100, salt="s7", num_partitions=7)
+    rows = {r.doc_id: (r.shard_id, r.shard_pos, r.payload) for r in out.collect()}
+    oracle = d.select(
+        "doc_id",
+        (
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("s7"))),
+                    "doc_id",
+                )
+            )
+            - 1
+        ).alias("rk"),
+    )
+    want = {
+        r.doc_id: (r.rk // 100, r.rk % 100) for r in oracle.collect()
+    }
+    assert {k: v[:2] for k, v in rows.items()} == want
+    assert rows[5][2] == 10  # payload columns survive
+    sizes = sorted(
+        out.groupBy("shard_id").count().rdd.map(lambda r: r["count"]).collect()
+    )
+    assert sizes == [34] + [100] * 12
+    # parallelism-independent layout
+    again = {
+        r.doc_id: (r.shard_id, r.shard_pos)
+        for r in shard_shuffle(d.repartition(3), 100, salt="s7").collect()
+    }
+    assert again == want
+    with pytest.raises(ValueError, match="positive"):
+        shard_shuffle(d, 0)
+
+
+def test_gopher_columns_each_rule_fires(spark):
+    """gopher_columns: one crafted violator per MassiveText rule plus one
+    clean doc; signals and the combined verdict match the published
+    thresholds; the scan stays pure codegen (no Python eval in plan)."""
+    from puddin_spark.operators.textstats import gopher_columns
+
+    base = "the quick brown fox jumps to be of and that have with " * 5
+    docs = [
+        ("clean", base),
+        ("short", "the be to of and that have with"),     # n_words < 50
+        ("longw", ("pneumonoultramicroscopic " * 60) + "the be"),  # mean len > 10
+        ("hashy", base + "# " * 12),                      # hash ratio > 0.1
+        ("ells", base + "... " * 12),                     # ellipsis ratio > 0.1
+        ("bullets", "\n".join(["- the be to of item"] * 10)),  # bullet frac
+        ("endell", base + "\n" + "\n".join(["read the more..."] * 9)),
+        ("numeric", ("42 17 99 " * 30) + "the be"),       # alpha frac < 0.8
+        ("nostop", "zz qq ww ee rr tt yy uu ii oo " * 8), # required words < 2
+    ]
+    d = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {r.doc_id: r for r in gopher_columns(d, min_words=30).collect()}
+    assert out["clean"].gopher_keep is True
+    assert out["short"].n_words < 30 and out["short"].gopher_keep is False
+    assert out["longw"].mean_word_len > 10 and not out["longw"].gopher_keep
+    assert out["hashy"].hash_word_ratio > 0.1 and not out["hashy"].gopher_keep
+    assert out["ells"].ellipsis_word_ratio > 0.1 and not out["ells"].gopher_keep
+    assert out["bullets"].bullet_line_frac > 0.9 and not out["bullets"].gopher_keep
+    assert out["endell"].ellipsis_line_frac > 0.3 and not out["endell"].gopher_keep
+    assert out["numeric"].alpha_word_frac < 0.8 and not out["numeric"].gopher_keep
+    assert out["nostop"].n_required_words < 2 and not out["nostop"].gopher_keep
+    plan = gopher_columns(d, min_words=30)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_apply_gopher_gate_flips_only_kept_failures(spark):
+    """apply_gopher_gate: kept docs failing the battery flip to
+    excl_type='gopher' with clean_text nulled; kept passers and already-
+    dropped docs pass through byte-identical; schema unchanged."""
+    from puddin_spark.operators.textstats import apply_gopher_gate
+
+    good = "the quick brown fox jumps to be of and that have with " * 5
+    v = spark.createDataFrame(
+        [
+            ("d1", good, True, None),
+            ("d2", "zz qq ww " * 20, True, None),          # no required words
+            ("d3", "tiny", False, "punc"),
+        ],
+        "doc_id string, clean_text string, keep boolean, excl_type string",
+    )
+    out = {r.doc_id: r for r in apply_gopher_gate(v, min_words=30).collect()}
+    assert out["d1"].keep is True and out["d1"].excl_type is None
+    assert out["d1"].clean_text == good
+    assert out["d2"].keep is False and out["d2"].excl_type == "gopher"
+    assert out["d2"].clean_text is None
+    assert out["d3"].keep is False and out["d3"].excl_type == "punc"
+    assert out["d3"].clean_text == "tiny"
+    assert [f.name for f in apply_gopher_gate(v).schema.fields] == [
+        "doc_id", "clean_text", "keep", "excl_type",
+    ]
