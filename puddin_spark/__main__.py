@@ -68,6 +68,8 @@ def cmd_run(args) -> int:
         srp_bands=args.srp_bands,
         html_fallback=args.html_fallback,
         blocked_domains=blocked,
+        gopher=args.gopher,
+        gopher_min_words=args.gopher_min_words,
         decontaminate_against=eval_docs,
         decontaminate_ngram=args.decontaminate_ngram,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
@@ -261,20 +263,27 @@ def cmd_compact(args) -> int:
 
 def cmd_export(args) -> int:
     """Training-data export — the last mile after cleaning/dedup: kept
-    verdicts -> optional exact token budget (packing.token_budget_sample)
-    -> reproducible split assignment (splits.hash_split) -> per-split
-    GPT-3-style sequence packing (packing.pack_sequences) -> parquet
-    partitioned by split. Every stage is a pure function of (corpus,
-    salt): rerunning at any cluster size or resuming after more batches
-    were ingested reproduces identical split membership and pack layout
-    for the docs that were already present."""
+    verdicts -> optional temperature-flattened language mix
+    (splits.temperature_mix) -> optional exact token budget
+    (packing.token_budget_sample) -> reproducible split assignment
+    (splits.hash_split) -> per-split layout: GPT-3-style sequence packing
+    (packing.pack_sequences) by default, or fixed-size doc shards
+    (splits.shard_shuffle) with --shard-size. Every stage is a pure
+    function of (corpus, salt): rerunning at any cluster size or resuming
+    after more batches were ingested reproduces identical mix/split
+    membership and pack/shard layout for the docs that were already
+    present."""
     from pyspark.sql import functions as F
 
     from puddin_spark.operators.packing import (
         pack_sequences,
         token_budget_sample,
     )
-    from puddin_spark.operators.splits import hash_split
+    from puddin_spark.operators.splits import (
+        hash_split,
+        shard_shuffle,
+        temperature_mix,
+    )
     from puddin_spark.operators.textstats import token_count_col
     from puddin_spark.session import get_spark
     from puddin_spark.snapshots import SnapshotStore
@@ -295,49 +304,64 @@ def cmd_export(args) -> int:
         .select("doc_id", "url", "lang", "clean_text")
         .withColumn("n_tokens", token_count_col("clean_text").cast("bigint"))
     )
+    if args.temperature is not None:
+        # a distinct sub-salt: the mix lattice must be independent of the
+        # budget/split/pack lattice so changing one never reshuffles the other
+        docs = temperature_mix(
+            docs, args.temperature, strata_col="lang", salt=args.salt + ":mix"
+        )
     if args.budget:
         docs = token_budget_sample(docs, args.budget, "n_tokens", salt=args.salt)
     docs = hash_split(docs, weights, salt=args.salt)
     out_dir = args.out or f"{args.dest}/export"
-    # pack each split as its own token stream (splits train separately;
-    # a shared stream would interleave val docs into train windows)
+    # lay out each split independently (splits train separately; a shared
+    # token stream / shard sequence would interleave val docs into train)
     packed = None
     for name in weights:
-        part = pack_sequences(
-            docs.where(F.col("split") == name), args.seq_len, "n_tokens",
-            salt=args.salt,
+        part = (
+            shard_shuffle(
+                docs.where(F.col("split") == name), args.shard_size,
+                salt=args.salt,
+            )
+            if args.shard_size
+            else pack_sequences(
+                docs.where(F.col("split") == name), args.seq_len, "n_tokens",
+                salt=args.salt,
+            )
         )
         packed = part if packed is None else packed.unionByName(part)
     packed.write.mode("overwrite").partitionBy("split").parquet(out_dir)
     # summarize from the written plan, not a re-read: an all-filtered
     # export (e.g. a budget smaller than the first stream doc) writes an
     # empty partitioned dir, which parquet cannot re-infer a schema from
+    unit_col = "shard_id" if args.shard_size else "pack_id"
+    unit_name = "shards" if args.shard_size else "packs"
     rows = (
         packed.groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens").alias("tokens"),
-            (F.max("pack_id") + 1).alias("packs"),
+            (F.max(unit_col) + 1).alias("units"),
         )
         .collect()
     )
-    print(
-        json.dumps(
-            {
-                "ok": True,
-                "out": out_dir,
-                "seq_len": args.seq_len,
-                "splits": {
-                    r["split"]: {
-                        "docs": r["docs"],
-                        "tokens": r["tokens"],
-                        "packs": r["packs"],
-                    }
-                    for r in rows
-                },
+    summary = {
+        "ok": True,
+        "out": out_dir,
+        "splits": {
+            r["split"]: {
+                "docs": r["docs"],
+                "tokens": r["tokens"],
+                unit_name: r["units"],
             }
-        )
-    )
+            for r in rows
+        },
+    }
+    if args.shard_size:
+        summary["shard_size"] = args.shard_size
+    else:
+        summary["seq_len"] = args.seq_len
+    print(json.dumps(summary))
     spark.stop()
     return 0
 
@@ -401,6 +425,23 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument(
                 "--out", default=None,
                 help="output dir (default <dest>/export)",
+            )
+            sp.add_argument(
+                "--temperature",
+                type=float,
+                default=None,
+                help="temperature-flatten the language mix before the"
+                " budget (splits.temperature_mix alpha in [0,1]: 1 ="
+                " natural distribution, 0 = equal expected counts)",
+            )
+            sp.add_argument(
+                "--shard-size",
+                type=int,
+                default=0,
+                dest="shard_size",
+                help="doc-level export layout: deterministic global"
+                " shuffle into fixed-size shards (splits.shard_shuffle)"
+                " instead of token-stream packing",
             )
         if name == "run":
             sp.add_argument("--limit", type=int, default=0)
@@ -471,6 +512,20 @@ def main(argv: list[str] | None = None) -> int:
                 action="store_true",
                 help="extract text from the html column (JVM regexp chain)"
                 " for rows whose WET text is null/empty",
+            )
+            sp.add_argument(
+                "--gopher",
+                action="store_true",
+                help="apply the Gopher/MassiveText heuristic quality"
+                " battery after the puddin rules; failing kept docs get"
+                " excl_type='gopher'",
+            )
+            sp.add_argument(
+                "--gopher-min-words",
+                type=int,
+                default=50,
+                dest="gopher_min_words",
+                help="lower word-count bound for --gopher",
             )
             sp.add_argument(
                 "--annotate",

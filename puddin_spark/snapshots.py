@@ -561,6 +561,8 @@ def run_resumable_pipeline(
     srp_bands: int | None = None,
     html_fallback: bool = False,
     blocked_domains=None,
+    gopher: bool = False,
+    gopher_min_words: int = 50,
     decontaminate_against: DataFrame | None = None,
     decontaminate_ngram: int = 13,
     partition_by: list[str] | None = None,
@@ -612,6 +614,15 @@ def run_resumable_pipeline(
     match or omit them — band keys from different configs are
     incomparable, so a mismatch raises instead of silently generating no
     candidates.
+
+    gopher=True composes the Gopher/MassiveText heuristic rule battery
+    (textstats.apply_gopher_gate — word-count/word-length bounds, symbol
+    and ellipsis ratios, bullet/ellipsis line fractions, alpha-word
+    fraction, required stopwords) after the puddin rules: kept docs
+    failing any rule flip to excl_type='gopher' before dedup sees them.
+    A pure-codegen projection — no extra shuffle or Python. Off by
+    default ('gopher' is a graft-axis label the reference doesn't emit);
+    gopher_min_words parameterizes the lower word bound.
 
     decontaminate_against (a DataFrame with a `text` column — the eval/
     benchmark suite) flips kept docs sharing any word n-gram
@@ -666,6 +677,13 @@ def run_resumable_pipeline(
         todo, num_partitions=num_partitions, with_timing=True,
         blocked_domains=blocked_domains,
     )
+    if gopher:
+        # cheapest gate first: a codegen-only flip that shrinks the kept
+        # set before the broadcast-join (decontaminate) and shuffle
+        # (near-dedup) stages do per-doc work
+        from puddin_spark.operators.textstats import apply_gopher_gate
+
+        verdicts = apply_gopher_gate(verdicts, min_words=gopher_min_words)
     if decontaminate_against is not None:
         # train/test-leakage flip BEFORE the near-dedup passes: fewer kept
         # docs reach the (costlier) encoding/shingling stages, and a doc

@@ -44,6 +44,7 @@ def run_streaming_pipeline(
     srp_planes: int | None = None,
     srp_bands: int | None = None,
     html_fallback: bool = False,
+    gopher: bool = False,
 ):
     """Continuous ingestion: each micro-batch runs the batch pipeline body
     and commits atomically. Returns the StreamingQuery (caller awaits).
@@ -63,6 +64,7 @@ def run_streaming_pipeline(
             srp_planes=srp_planes,
             srp_bands=srp_bands,
             html_fallback=html_fallback,
+            gopher=gopher,
         )
 
     writer = (

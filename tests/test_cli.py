@@ -189,3 +189,36 @@ def test_cli_export_packs_splits(tmp_path, spark):
     # no store -> loud error
     code, err = _run(["export", "-d", str(tmp_path / "nope"), "--master", "local[4]"])
     assert code == 2 and "error" in err
+
+
+def test_cli_export_sharded_and_tempered(tmp_path, spark):
+    """export --shard-size: doc-level sharded layout instead of packing —
+    per split, shard_id*size+shard_pos enumerates 0..n-1 with every shard
+    full except the last; --temperature 1.0 is the identity mix (the
+    corpus is all-en, so any alpha keeps the single stratum whole)."""
+    dest = str(tmp_path / "out")
+    code, out = _run(
+        ["run", "-i", JSONL, "-d", dest, "--partitions", "2", "--master", "local[4]"]
+    )
+    assert code == 0 and out["total_keep"] == 8
+    code, ex = _run(
+        ["export", "-d", dest, "--master", "local[4]", "--shard-size", "3",
+         "--temperature", "1.0", "--splits", "train=0.8,val=0.2",
+         "--out", str(tmp_path / "exp")]
+    )
+    assert code == 0 and ex["ok"] and ex["shard_size"] == 3
+    assert "seq_len" not in ex
+    df = spark.read.parquet(ex["out"])
+    rows = df.collect()
+    assert len(rows) == 8  # temperature 1.0 kept every doc
+    assert {"shard_id", "shard_pos", "split"} <= set(df.columns)
+    for split in {r.split for r in rows}:
+        part = sorted(
+            (r for r in rows if r.split == split),
+            key=lambda r: (r.shard_id, r.shard_pos),
+        )
+        assert [r.shard_id * 3 + r.shard_pos for r in part] == list(range(len(part)))
+        n_shards = part[-1].shard_id + 1
+        assert ex["splits"][split]["shards"] == n_shards
+        full = sum(1 for r in part if r.shard_id < n_shards - 1)
+        assert full == (n_shards - 1) * 3

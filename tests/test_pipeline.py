@@ -458,3 +458,40 @@ def test_toxicity_lexicon_metacharacters_safe(spark, monkeypatch):
     # a.b matches only literally (axb does NOT), quotes never escape the
     # pattern, and the paren word compiles instead of breaking the regex
     assert got == {"d1": 2, "d2": 0, "d3": 1}
+
+
+def test_gopher_flag_flips_failing_kept_docs(spark, tmp_path):
+    """run_resumable_pipeline(gopher=True): the committed verdicts equal
+    the gopher=False run with textstats.gopher_columns applied to its
+    kept set — failing docs flip to excl_type='gopher' with clean_text
+    nulled, everything else is untouched, completeness holds."""
+    from puddin_spark.operators.textstats import gopher_columns
+    from puddin_spark.snapshots import SnapshotStore, run_resumable_pipeline
+
+    pages = synth_pages_local(spark, 80).cache()
+    a_store = SnapshotStore(tmp_path / "plain")
+    b_store = SnapshotStore(tmp_path / "gophered")
+    run_resumable_pipeline(spark, pages, a_store, num_partitions=2)
+    run_resumable_pipeline(
+        spark, pages, b_store, num_partitions=2, gopher=True,
+        gopher_min_words=10,
+    )
+    va = a_store.read(spark)
+    vb = b_store.read(spark)
+    assert va.count() == vb.count()  # completeness: same url universe
+    bad = {
+        r.doc_id
+        for r in gopher_columns(
+            va.filter("keep"), "clean_text", min_words=10
+        ).filter("not gopher_keep").collect()
+    }
+    assert bad, "synthetic corpus must exercise at least one gopher rule"
+    assert va.filter("keep").count() > len(bad), "and must not drop everything"
+    flipped = {r.doc_id: r for r in vb.filter("excl_type = 'gopher'").collect()}
+    assert set(flipped) == bad
+    assert all(r.keep is False and r.clean_text is None for r in flipped.values())
+    # non-flipped rows are byte-identical between the two runs
+    cols = [c for c in va.columns if c not in ("started_at", "finished_at", "duration_s")]
+    ja = {r.doc_id: r for r in va.select(*cols).collect() if r.doc_id not in bad}
+    jb = {r.doc_id: r for r in vb.select(*cols).collect() if r.doc_id not in bad}
+    assert ja == jb
