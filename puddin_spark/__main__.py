@@ -70,6 +70,7 @@ def cmd_run(args) -> int:
         blocked_domains=blocked,
         gopher=args.gopher,
         gopher_min_words=args.gopher_min_words,
+        c4=args.c4,
         decontaminate_against=eval_docs,
         decontaminate_ngram=args.decontaminate_ngram,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
@@ -526,6 +527,14 @@ def main(argv: list[str] | None = None) -> int:
                 default=50,
                 dest="gopher_min_words",
                 help="lower word-count bound for --gopher",
+            )
+            sp.add_argument(
+                "--c4",
+                action="store_true",
+                help="apply the C4 cleaning battery after the puddin"
+                " rules: surviving docs keep only terminal-punctuated"
+                " >=5-word lines; brace/lorem-ipsum/<3-sentence pages"
+                " get excl_type='c4'",
             )
             sp.add_argument(
                 "--annotate",

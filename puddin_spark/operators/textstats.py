@@ -302,6 +302,94 @@ def apply_gopher_gate(
     return out.select(*keep_cols)
 
 
+# C4 (Raffel et al. 2020, §2.2) web-page cleaning. Line-level: keep only
+# lines ending in terminal punctuation, with >= min_line_words words, and
+# not mentioning javascript. Page-level: drop pages with code braces,
+# 'lorem ipsum', or fewer than min_sentences sentences after line cleaning.
+# (The paper's remaining steps live elsewhere: bad-word filtering =
+# apply_toxicity_gate, three-sentence-span dedup = dedup.repeated_spans,
+# English filtering = the langid gates.)
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_columns(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """Attach the C4 cleaning signals and the combined page verdict. One
+    pure-codegen scan (split/filter/array_join built-ins — no shuffle, no
+    Python); every expression has a mechanical DuckDB twin.
+
+      - c4_text       text rebuilt from the retained lines (chr(10)-joined)
+      - n_lines       non-blank lines before cleaning
+      - n_lines_kept  lines surviving the three line rules
+      - n_sentences   terminal-punctuation marks in c4_text
+      - has_brace     page contains '{' (code page)
+      - has_lorem     page contains 'lorem ipsum'
+      - c4_keep       page survives: no brace/lorem, >= min_sentences,
+                      and at least one retained line"""
+    lines = f"filter(split({text_col}, chr(10)), l -> trim(l) <> '')"
+    kept = (
+        f"filter({lines}, l -> trim(l) rlike '{C4_TERMINAL_RE}'"
+        f" and size(split(trim(l), '\\\\s+')) >= {min_line_words}"
+        f" and lower(l) not like '%javascript%')"
+    )
+    out = (
+        df.withColumn("c4_text", F.expr(f"array_join({kept}, chr(10))"))
+        .withColumn("n_lines", F.expr(f"size({lines})"))
+        .withColumn("n_lines_kept", F.expr(f"size({kept})"))
+        .withColumn(
+            "n_sentences",
+            F.expr("size(regexp_extract_all(c4_text, '[.!?]', 0))"),
+        )
+        .withColumn("has_brace", F.expr(f"contains({text_col}, '{{')"))
+        .withColumn(
+            "has_lorem", F.expr(f"contains(lower({text_col}), 'lorem ipsum')")
+        )
+    )
+    keep = (
+        ~F.col("has_brace")
+        & ~F.col("has_lorem")
+        & (F.col("n_sentences") >= min_sentences)
+        & (F.col("n_lines_kept") >= 1)
+    )
+    return out.withColumn("c4_keep", keep)
+
+
+def apply_c4_gate(
+    verdicts: DataFrame,
+    text_col: str = "clean_text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 cleaning composed AFTER the puddin rules: kept pages failing the
+    page-level rules flip to keep=false with excl_type='c4' (clean_text
+    nulled per the verdict contract); kept survivors get their text
+    REWRITTEN to the retained lines (C4 removes bad lines, not just bad
+    pages — same text-rewriting shape as dedup.trim_repeated_spans).
+    Pure codegen projection — no shuffle, no Python."""
+    keep_cols = verdicts.columns
+    scored = c4_columns(
+        verdicts, text_col,
+        min_line_words=min_line_words, min_sentences=min_sentences,
+    )
+    bad = F.col("keep") & ~F.col("c4_keep")
+    out = scored.withColumn("_cbad", bad).select(
+        *[c for c in keep_cols if c not in ("keep", "excl_type", text_col)],
+        F.when(F.col("_cbad"), F.lit(None).cast("string"))
+        .when(F.col("keep"), F.col("c4_text"))
+        .otherwise(F.col(text_col))
+        .alias(text_col),
+        (F.col("keep") & ~F.col("_cbad")).alias("keep"),
+        F.when(F.col("_cbad"), F.lit("c4"))
+        .otherwise(F.col("excl_type"))
+        .alias("excl_type"),
+    )
+    return out.select(*keep_cols)
+
+
 def perplexity_buckets(
     df: DataFrame,
     ppl_col: str = "ppl",

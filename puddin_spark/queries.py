@@ -1660,6 +1660,76 @@ from s
 """
 
 
+# C4-rule injections: the word-soup corpus has no newlines/punctuation, so
+# cohorts are built around a three-line passing page (lines end in terminal
+# punctuation, >=5 words) with one violation appended per cohort. Plain
+# string (not f-string) so the literal code braces stay readable; identical
+# SQL in both engines (chr(10) newlines, substr 1-based in both).
+_C4_PASS_PAGE = (
+    "concat('alpha beta gamma delta epsilon zeta.', chr(10),"
+    " substr(text, 1, 37), ' one two three four.', chr(10),"
+    " 'do you really want to know? yes we do!')"
+)
+_AUG_C4_SQL = (
+    "case"
+    " when doc_id % 11 = 2 then concat(" + _C4_PASS_PAGE + ", chr(10),"
+    " 'we just love lorem ipsum here.')"
+    " when doc_id % 13 = 3 then concat(" + _C4_PASS_PAGE + ", chr(10),"
+    " 'function f() { return 1; }.')"
+    " when doc_id % 7 = 1 then concat(" + _C4_PASS_PAGE + ", chr(10),"
+    " 'too short.', chr(10),"
+    " 'please enable javascript to continue now.')"
+    " when doc_id % 5 < 2 then " + _C4_PASS_PAGE +
+    " else text end"
+)
+
+
+def q_c4_rules(spark, sf_dir):
+    """C4 web-page cleaning battery (textstats.c4_columns, Raffel et al.
+    2020 §2.2): line retention (terminal punctuation, >=5 words, no
+    javascript mention), the rebuilt page text, and the page verdict
+    (no code braces, no 'lorem ipsum', >=3 sentences after cleaning).
+    Violating cohorts are injected via _AUG_C4_SQL in both engines."""
+    from puddin_spark.operators.textstats import c4_columns
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_AUG_C4_SQL).alias("text")
+    )
+    return c4_columns(d, "text").select(
+        "doc_id", "c4_text", "n_lines", "n_lines_kept", "n_sentences",
+        "has_brace", "has_lorem", "c4_keep",
+    )
+
+
+O_C4_RULES = """
+with t as (select doc_id, __AUG__ as text from documents),
+m as (select doc_id, text,
+        list_filter(string_split(text, chr(10)), l -> trim(l) <> '') as lines
+      from t),
+k as (select doc_id, text, lines,
+        list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$')
+          and len(string_split_regex(trim(l), '\\s+')) >= 5
+          and not contains(lower(l), 'javascript')) as kept
+      from m),
+j as (select *,
+        -- array_to_string over an EMPTY list is NULL in DuckDB; Spark's
+        -- array_join returns '' — coalesce to align the engines
+        coalesce(array_to_string(kept, chr(10)), '') as c4_text
+      from k)
+select doc_id,
+       c4_text,
+       cast(len(lines) as int) as n_lines,
+       cast(len(kept) as int) as n_lines_kept,
+       cast(len(regexp_extract_all(c4_text, '[.!?]')) as int) as n_sentences,
+       contains(text, '{') as has_brace,
+       contains(lower(text), 'lorem ipsum') as has_lorem,
+       (not contains(text, '{') and not contains(lower(text), 'lorem ipsum')
+        and len(regexp_extract_all(c4_text, '[.!?]')) >= 3
+        and len(kept) >= 1) as c4_keep
+from j
+""".replace("__AUG__", _AUG_C4_SQL)
+
+
 def q_importance_scores(spark, sf_dir):
     """DSIR-style hashed-unigram importance scoring
     (operators.importance): fit 256-bucket log-likelihood-ratio weights
@@ -2697,6 +2767,7 @@ LOCAL_QUERIES = {
     "temperature_mix": q_temperature_mix,
     "shard_shuffle": q_shard_shuffle,
     "gopher_rules": q_gopher_rules,
+    "c4_rules": q_c4_rules,
 }
 
 # Union for local replay + bench lookups.
@@ -2760,6 +2831,7 @@ def oracle_queries() -> dict[str, str]:
         "temperature_mix": _oracle_temperature_mix(),
         "shard_shuffle": O_SHARD_SHUFFLE,
         "gopher_rules": O_GOPHER_RULES,
+        "c4_rules": O_C4_RULES,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

@@ -563,6 +563,7 @@ def run_resumable_pipeline(
     blocked_domains=None,
     gopher: bool = False,
     gopher_min_words: int = 50,
+    c4: bool = False,
     decontaminate_against: DataFrame | None = None,
     decontaminate_ngram: int = 13,
     partition_by: list[str] | None = None,
@@ -624,6 +625,15 @@ def run_resumable_pipeline(
     default ('gopher' is a graft-axis label the reference doesn't emit);
     gopher_min_words parameterizes the lower word bound.
 
+    c4=True composes the C4 cleaning battery (textstats.apply_c4_gate):
+    kept docs keep only lines ending in terminal punctuation with >=5
+    words and no javascript mention (clean_text is REWRITTEN to the
+    retained lines), and pages with code braces / 'lorem ipsum' / fewer
+    than 3 surviving sentences flip to excl_type='c4'. Also pure codegen,
+    off by default, and composes with gopher (both gates see only the
+    other's survivors; order: gopher first, C4 second — C4 rewrites text,
+    so gopher's ratios judge the original page).
+
     decontaminate_against (a DataFrame with a `text` column — the eval/
     benchmark suite) flips kept docs sharing any word n-gram
     (decontaminate_ngram, default 13) with it to excl_type='contaminated'
@@ -684,6 +694,13 @@ def run_resumable_pipeline(
         from puddin_spark.operators.textstats import apply_gopher_gate
 
         verdicts = apply_gopher_gate(verdicts, min_words=gopher_min_words)
+    if c4:
+        # after gopher (which judges the original page), before the
+        # joins/shuffles: C4 rewrites surviving clean_text to its
+        # retained lines, so downstream dedup hashes the cleaned body
+        from puddin_spark.operators.textstats import apply_c4_gate
+
+        verdicts = apply_c4_gate(verdicts)
     if decontaminate_against is not None:
         # train/test-leakage flip BEFORE the near-dedup passes: fewer kept
         # docs reach the (costlier) encoding/shingling stages, and a doc

@@ -1360,3 +1360,74 @@ def test_apply_gopher_gate_flips_only_kept_failures(spark):
     assert [f.name for f in apply_gopher_gate(v).schema.fields] == [
         "doc_id", "clean_text", "keep", "excl_type",
     ]
+
+
+def test_c4_columns_line_and_page_rules(spark):
+    """c4_columns: one violator per C4 rule — line retention requires
+    terminal punctuation, >=5 words, and no javascript mention; pages
+    fail on braces, 'lorem ipsum', or <3 surviving sentences; the scan
+    stays pure codegen."""
+    from puddin_spark.operators.textstats import c4_columns
+
+    page = (
+        "alpha beta gamma delta epsilon.\n"
+        "the second line has six words.\n"
+        "do you want to know more? yes!"
+    )
+    docs = [
+        ("clean", page),
+        ("noterm", "alpha beta gamma delta epsilon\nno punctuation here at all\nstill none here my friend"),
+        ("short", "one two.\nthree four!\nfive six?"),
+        ("js", page + "\nplease enable javascript to continue now."),
+        ("brace", page + "\nif (x) { return y; }."),
+        ("lorem", page + "\nthis page uses Lorem Ipsum filler text."),
+        ("fewsent", "just the one good line right here.\nand another fine line right here."),
+    ]
+    d = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {r.doc_id: r for r in c4_columns(d).collect()}
+    assert out["clean"].c4_keep is True
+    assert out["clean"].n_lines == 3 and out["clean"].n_lines_kept == 3
+    assert out["clean"].n_sentences == 4  # three terminals + mid-line '?'
+    assert out["clean"].c4_text == page
+    assert out["noterm"].n_lines_kept == 0 and not out["noterm"].c4_keep
+    assert out["noterm"].c4_text == ""
+    assert out["short"].n_lines_kept == 0 and not out["short"].c4_keep
+    # the js line is dropped but the page keeps its three clean lines
+    assert out["js"].n_lines == 4 and out["js"].n_lines_kept == 3
+    assert out["js"].c4_keep is True and "javascript" not in out["js"].c4_text
+    assert out["brace"].has_brace is True and not out["brace"].c4_keep
+    assert out["lorem"].has_lorem is True and not out["lorem"].c4_keep
+    assert out["fewsent"].n_sentences == 2 and not out["fewsent"].c4_keep
+    plan = c4_columns(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_apply_c4_gate_rewrites_survivors_and_flips_failures(spark):
+    """apply_c4_gate: kept pages failing page rules flip to excl_type='c4'
+    (clean_text nulled); kept survivors get clean_text REWRITTEN to the
+    retained lines; dropped docs pass through byte-identical."""
+    from puddin_spark.operators.textstats import apply_c4_gate
+
+    page = (
+        "alpha beta gamma delta epsilon.\n"
+        "the second line has six words.\n"
+        "do you want to know more? yes!"
+    )
+    v = spark.createDataFrame(
+        [
+            ("d1", page + "\nbad line no punct", True, None),
+            ("d2", page + "\nsee our lorem ipsum gallery.", True, None),
+            ("d3", "raw soup", False, "punc"),
+        ],
+        "doc_id string, clean_text string, keep boolean, excl_type string",
+    )
+    out = {r.doc_id: r for r in apply_c4_gate(v).collect()}
+    assert out["d1"].keep is True and out["d1"].excl_type is None
+    assert out["d1"].clean_text == page  # bad line removed, text rewritten
+    assert out["d2"].keep is False and out["d2"].excl_type == "c4"
+    assert out["d2"].clean_text is None
+    assert out["d3"].keep is False and out["d3"].excl_type == "punc"
+    assert out["d3"].clean_text == "raw soup"
+    assert [f.name for f in apply_c4_gate(v).schema.fields] == [
+        "doc_id", "clean_text", "keep", "excl_type",
+    ]
