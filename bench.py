@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "html_extract",
     "url_canonicalize",
     "decontaminate_eval",
+    # r5 session-4 additions: the C4 codegen scan and the two-phase
+    # prefix-sum shard layout (the heaviest of the new split/export ops)
+    "c4_rules",
+    "shard_shuffle",
 ]
 
 
