@@ -367,11 +367,56 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Continuous ingestion: Structured Streaming over a directory of page
+    parquet drops (the shape a crawl delivers), each micro-batch running
+    the batch pipeline body and committing atomically to the SnapshotStore
+    (streaming.run_streaming_pipeline). The availableNow trigger drains
+    everything currently present and stops; rerunning after new drops
+    arrive resumes from BOTH the stream checkpoint and the store's
+    url/digest anti-joins, so replayed files never double-commit."""
+    from puddin_spark.session import get_spark
+    from puddin_spark.snapshots import SnapshotStore
+    from puddin_spark.streaming import run_streaming_pipeline
+
+    spark = get_spark(master=args.master, app_name="puddin_spark.stream")
+    store = SnapshotStore(f"{args.dest}/verdicts")
+    q = run_streaming_pipeline(
+        spark,
+        args.input,
+        store,
+        args.checkpoint or f"{args.dest}/checkpoint",
+        num_partitions=args.partitions,
+        near_dedup=args.near_dedup,
+        embedding_near_dedup=args.embedding_near_dedup,
+        srp_planes=args.srp_planes,
+        srp_bands=args.srp_bands,
+        html_fallback=args.html_fallback,
+        gopher=args.gopher,
+        gopher_min_words=args.gopher_min_words,
+        c4=args.c4,
+    )
+    drained = q.awaitTermination(args.stream_timeout)
+    if not drained:
+        q.stop()
+    v = store.read(spark)
+    out = {
+        "ok": bool(drained),
+        "total_docs": 0 if v is None else v.count(),
+        "total_keep": 0 if v is None else v.filter("keep").count(),
+        "snapshot_id": store.current_snapshot_id(),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0 if drained else 3
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="puddin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [
         ("run", cmd_run),
+        ("stream", cmd_stream),
         ("validate", cmd_validate),
         ("stats", cmd_stats),
         ("overview", cmd_overview),
@@ -384,8 +429,21 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--master", default=None)
         sp.add_argument("--partitions", type=int, default=32)
         sp.add_argument("--subset", default="Pile-CC")
-        if name in ("run", "validate"):
+        if name in ("run", "validate", "stream"):
             sp.add_argument("-i", "--input", required=True)
+        if name == "stream":
+            sp.add_argument(
+                "--checkpoint",
+                default=None,
+                help="stream checkpoint dir (default <dest>/checkpoint)",
+            )
+            sp.add_argument(
+                "--stream-timeout",
+                type=float,
+                default=600.0,
+                dest="stream_timeout",
+                help="max seconds to wait for the availableNow drain",
+            )
         if name == "compact":
             sp.add_argument(
                 "--gc-age",
@@ -447,6 +505,7 @@ def main(argv: list[str] | None = None) -> int:
         if name == "run":
             sp.add_argument("--limit", type=int, default=0)
             sp.add_argument("--conllu", action="store_true")
+        if name in ("run", "stream"):
             sp.add_argument(
                 "--near-dedup",
                 action="store_true",
@@ -482,6 +541,35 @@ def main(argv: list[str] | None = None) -> int:
                 " — more bands, higher near-twin recall)",
             )
             sp.add_argument(
+                "--html-fallback",
+                action="store_true",
+                help="extract text from the html column (JVM regexp chain)"
+                " for rows whose WET text is null/empty",
+            )
+            sp.add_argument(
+                "--gopher",
+                action="store_true",
+                help="apply the Gopher/MassiveText heuristic quality"
+                " battery after the puddin rules; failing kept docs get"
+                " excl_type='gopher'",
+            )
+            sp.add_argument(
+                "--c4",
+                action="store_true",
+                help="apply the C4 cleaning battery after the puddin"
+                " rules: surviving docs keep only terminal-punctuated"
+                " >=5-word lines; brace/lorem-ipsum/<3-sentence pages"
+                " get excl_type='c4'",
+            )
+            sp.add_argument(
+                "--gopher-min-words",
+                type=int,
+                default=50,
+                dest="gopher_min_words",
+                help="lower word-count bound for --gopher",
+            )
+        if name == "run":
+            sp.add_argument(
                 "--partition-by",
                 default=None,
                 help="comma-separated verdict columns (e.g. lang) to"
@@ -507,34 +595,6 @@ def main(argv: list[str] | None = None) -> int:
                 type=int,
                 default=13,
                 help="n-gram size for --decontaminate overlap",
-            )
-            sp.add_argument(
-                "--html-fallback",
-                action="store_true",
-                help="extract text from the html column (JVM regexp chain)"
-                " for rows whose WET text is null/empty",
-            )
-            sp.add_argument(
-                "--gopher",
-                action="store_true",
-                help="apply the Gopher/MassiveText heuristic quality"
-                " battery after the puddin rules; failing kept docs get"
-                " excl_type='gopher'",
-            )
-            sp.add_argument(
-                "--gopher-min-words",
-                type=int,
-                default=50,
-                dest="gopher_min_words",
-                help="lower word-count bound for --gopher",
-            )
-            sp.add_argument(
-                "--c4",
-                action="store_true",
-                help="apply the C4 cleaning battery after the puddin"
-                " rules: surviving docs keep only terminal-punctuated"
-                " >=5-word lines; brace/lorem-ipsum/<3-sentence pages"
-                " get excl_type='c4'",
             )
             sp.add_argument(
                 "--annotate",

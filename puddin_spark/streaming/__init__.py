@@ -45,6 +45,8 @@ def run_streaming_pipeline(
     srp_bands: int | None = None,
     html_fallback: bool = False,
     gopher: bool = False,
+    gopher_min_words: int = 50,
+    c4: bool = False,
 ):
     """Continuous ingestion: each micro-batch runs the batch pipeline body
     and commits atomically. Returns the StreamingQuery (caller awaits).
@@ -65,6 +67,8 @@ def run_streaming_pipeline(
             srp_bands=srp_bands,
             html_fallback=html_fallback,
             gopher=gopher,
+            gopher_min_words=gopher_min_words,
+            c4=c4,
         )
 
     writer = (

@@ -222,3 +222,37 @@ def test_cli_export_sharded_and_tempered(tmp_path, spark):
         assert ex["splits"][split]["shards"] == n_shards
         full = sum(1 for r in part if r.shard_id < n_shards - 1)
         assert full == (n_shards - 1) * 3
+
+
+def test_cli_stream_drains_and_resumes(tmp_path, spark):
+    """stream: the availableNow drain through the real CLI — first run
+    commits every drop present, a rerun with a new drop adds only the new
+    docs (stream checkpoint + store anti-joins), and --gopher/--c4 flags
+    parse and compose on the streaming path."""
+    from puddin_spark.synth import SPARK_SCHEMA_DDL, gen_rows
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    spark.createDataFrame(
+        gen_rows(0, 90, include_fixtures=False), SPARK_SCHEMA_DDL
+    ).coalesce(1).write.mode("append").parquet(str(drops))
+    dest = str(tmp_path / "out")
+    code, out = _run(
+        ["stream", "-i", str(drops), "-d", dest, "--partitions", "2",
+         "--master", "local[4]", "--gopher", "--gopher-min-words", "10", "--c4"]
+    )
+    assert code == 0 and out["ok"] and out["total_docs"] > 0
+    n1 = out["total_docs"]
+    spark.createDataFrame(
+        gen_rows(90, 120, include_fixtures=False), SPARK_SCHEMA_DDL
+    ).coalesce(1).write.mode("append").parquet(str(drops))
+    code, out2 = _run(
+        ["stream", "-i", str(drops), "-d", dest, "--partitions", "2",
+         "--master", "local[4]", "--gopher", "--gopher-min-words", "10", "--c4"]
+    )
+    assert code == 0 and out2["ok"]
+    assert out2["total_docs"] > n1  # only the new drop's docs were added
+    v = spark.read.parquet(*[
+        str(p) for p in (tmp_path / "out" / "verdicts").glob("snap-*/data")
+    ])
+    assert v.select("url").distinct().count() == out2["total_docs"]
