@@ -167,3 +167,43 @@ def duckdb_bucket_sql(token_expr: str, num_buckets: int, salt: str = "") -> str:
         f"{digit.format(hx=hx, i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
     )
     return f"((({val}) % 10000) % {num_buckets})"
+
+
+def select_top_importance(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "score_q",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The DSIR SELECTION step: keep the highest-importance documents
+    that fit entirely within a token budget — the greedy fill of the
+    budget in score order (Xie et al. 2023 select top-k by importance;
+    expressed as a budget so it composes with the scaling-law ladders of
+    packing.token_budget_sample). Documents are laid out in
+    (score DESC, md5(key||salt), key) order — ties broken by the same
+    deterministic lattice as every other selection op — and a document is
+    kept iff its exclusive prefix sum of tokens plus its own tokens is
+    within `budget`.
+
+    Scale shape: the ordered exclusive prefix sum is the two-phase
+    range-partition scheme of with_global_prefix_sum(order_col=) — no
+    Exchange SinglePartition, no global sort materialization; only a
+    (key, hash, score, tokens) projection shuffles. Prefix property:
+    growing the budget only ADDS documents. `score_col` must be integral
+    (score_q is the quantized BIGINT) so every engine orders
+    identically."""
+    from puddin_spark.operators.packing import with_global_prefix_sum
+
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative: {budget}")
+    out = with_global_prefix_sum(
+        scored, token_col, key_col, salt,
+        num_partitions=num_partitions, order_col=score_col,
+    )
+    kept = out.where(
+        F.col("_start") + F.col(token_col).cast("bigint") <= F.lit(budget)
+    )
+    return kept.drop("_start")

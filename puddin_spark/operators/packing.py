@@ -52,22 +52,37 @@ def with_global_prefix_sum(
     *,
     start_col: str = "_start",
     num_partitions: int | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
-    """Add `start_col` = exclusive prefix sum of `value_col` (BIGINT) in
-    md5(key||salt) order, without a single-task sort. REQUIRES non-null
-    unique keys (the numbering joins back on the key — same contract as
+    """Add `start_col` = exclusive prefix sum of `value_col` (BIGINT),
+    without a single-task sort. REQUIRES non-null unique keys (the
+    numbering joins back on the key — same contract as
     with_global_row_number).
 
-    Only a (key, hash, value) projection is range-partitioned and
-    persisted (the persist pins the partition boundaries between the
+    Order: md5(key||salt) by default (the deterministic shuffle); with
+    `order_col`, DESCENDING on that column first (highest first — the
+    data-selection convention: best-scored documents claim the budget),
+    with the md5 hash + key as the deterministic tiebreak. `order_col`
+    must be integral (BIGINT ordering is engine-portable; float keys
+    order differently across engines only in pathological NaN cases, but
+    integral is the contract the oracles pin).
+
+    Only a (key, hash, value[, order]) projection is range-partitioned
+    and persisted (the persist pins the partition boundaries between the
     offset pass and the numbering pass — Spark's range sampler is not
     deterministic across jobs); the full rows never shuffle."""
     hx = shuffle_key_col(key_col, salt).alias("_hx")
-    thin = df.select(F.col(key_col), hx, F.col(value_col).cast("bigint").alias("_v"))
+    cols = [F.col(key_col), hx, F.col(value_col).cast("bigint").alias("_v")]
+    if order_col is not None:
+        cols.append(F.col(order_col).cast("bigint").alias("_ord"))
+        sort_cols = [F.col("_ord").desc(), F.col("_hx"), F.col(key_col)]
+    else:
+        sort_cols = [F.col("_hx"), F.col(key_col)]
+    thin = df.select(*cols)
     parted = (
-        thin.repartitionByRange(num_partitions, "_hx", key_col)
+        thin.repartitionByRange(num_partitions, *sort_cols)
         if num_partitions
-        else thin.repartitionByRange("_hx", key_col)
+        else thin.repartitionByRange(*sort_cols)
     )
     parted = parted.withColumn("_gpid", F.spark_partition_id()).persist()
     sums = sorted(
@@ -81,20 +96,23 @@ def with_global_prefix_sum(
     odf = df.sparkSession.createDataFrame(offsets, "_gpid int, _goff long")
     w = (
         Window.partitionBy("_gpid")
-        .orderBy("_hx", key_col)
+        .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     numbered = parted.join(F.broadcast(odf), "_gpid").withColumn(
         start_col, F.sum("_v").over(w) + F.col("_goff") - F.col("_v")
     )
-    if set(df.columns) == {key_col, value_col}:
-        # thin input (the packing/budget gates project to (key, tokens)
-        # before calling): the numbered rows already carry everything —
-        # skip the join-back, which otherwise costs two more full
-        # shuffles of the corpus
-        return numbered.select(
-            key_col, F.col("_v").alias(value_col), start_col
-        )
+    thin_cols = {key_col, value_col} | (
+        {order_col} if order_col is not None else set()
+    )
+    if set(df.columns) == thin_cols:
+        # thin input (the packing/budget/selection gates project before
+        # calling): the numbered rows already carry everything — skip the
+        # join-back, which otherwise costs two more full corpus shuffles
+        out = [key_col, F.col("_v").alias(value_col)]
+        if order_col is not None:
+            out.append(F.col("_ord").alias(order_col))
+        return numbered.select(*out, start_col)
     return df.join(numbered.select(key_col, start_col), key_col)
 
 

@@ -1660,6 +1660,51 @@ from s
 """
 
 
+def q_importance_select(spark, sf_dir):
+    """The DSIR selection step (importance.select_top_importance): fit
+    the same 256-bucket weights as importance_scores, then greedily keep
+    the highest-scored documents fitting within a 50k-token budget —
+    ordered exclusive prefix sum (score DESC, md5 tiebreak) via the
+    two-phase range-partition scheme, no single-task sort. The oracle
+    wraps the independent Python weight refit in a window over the same
+    order with the same budget predicate."""
+    from puddin_spark.operators.importance import (
+        fit_importance_weights,
+        importance_scores,
+        select_top_importance,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tgt = d.where(F.col("lang") == "en")
+    weights = fit_importance_weights(tgt, d, num_buckets=256)
+    scored = importance_scores(d, weights, num_buckets=256).select(
+        "doc_id", "n_tokens", "score_q"
+    )
+    return select_top_importance(scored, budget=50_000, salt="is1")
+
+
+def _oracle_importance_select() -> str:
+    """The importance oracle's scored CTE + the naive single-window
+    replay of the ordered exclusive prefix sum (score DESC, md5 hash,
+    id) with the budget predicate. HUGEINT trap: the window sum casts
+    to bigint."""
+    inner = _oracle_importance().strip().rstrip()
+    return f"""
+with scored as ({inner}),
+r as (
+  select doc_id, n_tokens, score_q,
+         cast(coalesce(sum(n_tokens) over (
+           order by score_q desc,
+                    md5(concat(cast(doc_id as varchar), 'is1')), doc_id
+           rows between unbounded preceding and 1 preceding), 0) as bigint)
+           as strt
+  from scored)
+select doc_id, cast(n_tokens as bigint) as n_tokens, score_q
+from r
+where strt + n_tokens <= 50000
+"""
+
+
 # C4-rule injections: the word-soup corpus has no newlines/punctuation, so
 # cohorts are built around a three-line passing page (lines end in terminal
 # punctuation, >=5 words) with one violation appended per cohort. Plain
@@ -2768,6 +2813,7 @@ LOCAL_QUERIES = {
     "shard_shuffle": q_shard_shuffle,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
+    "importance_select": q_importance_select,
 }
 
 # Union for local replay + bench lookups.
@@ -2832,6 +2878,7 @@ def oracle_queries() -> dict[str, str]:
         "shard_shuffle": O_SHARD_SHUFFLE,
         "gopher_rules": O_GOPHER_RULES,
         "c4_rules": O_C4_RULES,
+        "importance_select": _oracle_importance_select(),
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

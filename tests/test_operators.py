@@ -1431,3 +1431,93 @@ def test_apply_c4_gate_rewrites_survivors_and_flips_failures(spark):
     assert [f.name for f in apply_c4_gate(v).schema.fields] == [
         "doc_id", "clean_text", "keep", "excl_type",
     ]
+
+
+def test_ordered_prefix_sum_matches_single_task_window(spark):
+    """with_global_prefix_sum(order_col=): the two-phase scheme in
+    (score DESC, hash, key) order equals the naive single-task window
+    bit-for-bit at several partitionings, and still plans without
+    Exchange SinglePartition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from puddin_spark.operators.packing import (
+        shuffle_key_col,
+        with_global_prefix_sum,
+    )
+
+    d = spark.range(0, 700).selectExpr(
+        "id as doc_id", "id % 37 + 1 as toks", "(id * 7919) % 101 as score"
+    )
+    w = (
+        Window.orderBy(
+            F.col("score").desc(), shuffle_key_col("doc_id", "o1"), "doc_id"
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.doc_id: r.s
+        for r in d.select(
+            "doc_id", F.coalesce(F.sum("toks").over(w), F.lit(0)).alias("s")
+        ).collect()
+    }
+    for np in (None, 3, 11):
+        out = with_global_prefix_sum(
+            d, "toks", salt="o1", num_partitions=np, order_col="score"
+        )
+        got = {r.doc_id: r._start for r in out.collect()}
+        assert got == want, f"num_partitions={np}"
+    plan = (
+        with_global_prefix_sum(d, "toks", salt="o1", order_col="score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_select_top_importance_greedy_budget(spark):
+    """select_top_importance: the kept set is the greedy score-descending
+    fill of the budget (every kept doc outranks every dropped doc except
+    budget-straddlers), growing the budget only adds docs, membership is
+    parallelism-independent, and total kept tokens respect the budget."""
+    import pytest
+    from puddin_spark.operators.importance import select_top_importance
+
+    d = spark.range(0, 300).selectExpr(
+        "cast(id as string) as doc_id",
+        "id % 40 + 5 as n_tokens",
+        "(id * 31) % 97 as score_q",
+    )
+    kept = select_top_importance(d, 2000, salt="s")
+    rows = kept.collect()
+    assert sum(r.n_tokens for r in rows) <= 2000
+    # greedy property: the minimum kept score >= every dropped doc's score
+    # once the budget could no longer fit ANY doc (here all docs <= 45
+    # tokens, so after the cut only straddlers may be skipped; verify via
+    # the exact single-machine greedy replay)
+    import hashlib
+
+    def hx(i):
+        return hashlib.md5((i + "s").encode()).hexdigest()
+
+    all_rows = sorted(
+        d.collect(), key=lambda r: (-r.score_q, hx(r.doc_id), r.doc_id)
+    )
+    acc, want = 0, set()
+    for r in all_rows:
+        if acc + r.n_tokens <= 2000:
+            want.add(r.doc_id)
+        acc += r.n_tokens
+    assert {r.doc_id for r in rows} == want
+    # prefix property + parallelism independence
+    bigger = {
+        r.doc_id
+        for r in select_top_importance(d, 4000, salt="s").collect()
+    }
+    assert {r.doc_id for r in rows} < bigger
+    repart = {
+        r.doc_id
+        for r in select_top_importance(
+            d.repartition(13), 2000, salt="s", num_partitions=5
+        ).collect()
+    }
+    assert repart == want
+    with pytest.raises(ValueError, match="non-negative"):
+        select_top_importance(d, -1)
