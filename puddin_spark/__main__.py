@@ -73,6 +73,7 @@ def cmd_run(args) -> int:
         c4=args.c4,
         decontaminate_against=eval_docs,
         decontaminate_ngram=args.decontaminate_ngram,
+        span_window=args.dedup_spans,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
     )
     out = {"snapshot_id": snap_id, "new_docs": n_new}
@@ -311,6 +312,46 @@ def cmd_export(args) -> int:
         docs = temperature_mix(
             docs, args.temperature, strata_col="lang", salt=args.salt + ":mix"
         )
+    if args.importance_budget:
+        # DSIR: fit hashed-unigram weights target-vs-kept-corpus, score,
+        # and greedily keep the best docs within the token budget — the
+        # data-SELECTION step before the data-LAYOUT steps below
+        if not args.importance_target:
+            print(json.dumps({
+                "ok": False,
+                "error": "--importance-budget requires --importance-target",
+            }))
+            spark.stop()
+            return 2
+        from puddin_spark.operators.importance import (
+            fit_importance_weights,
+            importance_scores,
+            select_top_importance,
+        )
+
+        if args.importance_target.endswith(".csv"):
+            target = spark.read.option("header", True).csv(
+                args.importance_target
+            )
+        else:
+            target = spark.read.parquet(args.importance_target)
+        # fit uses one text_col name for both frames: align the target's
+        # `text` column to the kept corpus's `clean_text` (the constant
+        # doc_id is fine — fitting only counts tokens, never ids)
+        imp_weights = fit_importance_weights(
+            target.select(
+                F.lit("t").alias("doc_id"),
+                F.col("text").alias("clean_text"),
+            ),
+            docs, text_col="clean_text", num_buckets=256,
+        )
+        scored = importance_scores(
+            docs, imp_weights, text_col="clean_text", num_buckets=256
+        ).select("doc_id", "n_tokens", "score_q")
+        kept_ids = select_top_importance(
+            scored, args.importance_budget, salt=args.salt + ":imp"
+        )
+        docs = docs.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
     if args.budget:
         docs = token_budget_sample(docs, args.budget, "n_tokens", salt=args.salt)
     docs = hash_split(docs, weights, salt=args.salt)
@@ -362,6 +403,8 @@ def cmd_export(args) -> int:
         summary["shard_size"] = args.shard_size
     else:
         summary["seq_len"] = args.seq_len
+    if args.importance_budget:
+        summary["importance_budget"] = args.importance_budget
     print(json.dumps(summary))
     spark.stop()
     return 0
@@ -502,6 +545,22 @@ def main(argv: list[str] | None = None) -> int:
                 " shuffle into fixed-size shards (splits.shard_shuffle)"
                 " instead of token-stream packing",
             )
+            sp.add_argument(
+                "--importance-target",
+                default=None,
+                dest="importance_target",
+                help="csv (header: text) or parquet of target-domain"
+                " sample texts for DSIR importance selection",
+            )
+            sp.add_argument(
+                "--importance-budget",
+                type=int,
+                default=0,
+                dest="importance_budget",
+                help="keep only the highest-DSIR-importance docs fitting"
+                " this token budget (requires --importance-target);"
+                " applied before --budget/splitting",
+            )
         if name == "run":
             sp.add_argument("--limit", type=int, default=0)
             sp.add_argument("--conllu", action="store_true")
@@ -595,6 +654,16 @@ def main(argv: list[str] | None = None) -> int:
                 type=int,
                 default=13,
                 help="n-gram size for --decontaminate overlap",
+            )
+            sp.add_argument(
+                "--dedup-spans",
+                type=int,
+                default=0,
+                dest="dedup_spans",
+                help="window size (tokens) for the batch-local repeated-"
+                "span gate: kept docs sharing any window-token span with"
+                " another doc in the batch get excl_type='dup_spans'"
+                " (0 = off)",
             )
             sp.add_argument(
                 "--annotate",

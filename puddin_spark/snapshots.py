@@ -566,6 +566,8 @@ def run_resumable_pipeline(
     c4: bool = False,
     decontaminate_against: DataFrame | None = None,
     decontaminate_ngram: int = 13,
+    span_window: int = 0,
+    span_max_flagged: int = 0,
     partition_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """One resumable pipeline run: process only not-yet-committed urls,
@@ -640,6 +642,15 @@ def run_resumable_pipeline(
     BEFORE the near-dedup passes (dedup.apply_decontamination_gate; the
     eval side broadcasts, document bodies never shuffle).
 
+    span_window > 0 applies the repeated-span hygiene gate
+    (dedup.apply_repeated_span_gate, ExactSubstr-style hashed windows of
+    span_window tokens): kept docs with more than span_max_flagged
+    duplicated spans flip to excl_type='dup_spans'. BATCH-LOCAL by
+    design: spans are compared within the current batch only (unlike the
+    minhash/SRP near-dedup passes, which index all prior batches) —
+    cross-batch span hygiene means running the repeated_spans operator
+    over the accumulated kept corpus as a separate job.
+
     Returns (snapshot_id, n_new_docs); snapshot_id is -1 when there was
     nothing new (no empty commits — rerun after success is a no-op, the
     kill/rerun contract from BASELINE.md).
@@ -710,6 +721,15 @@ def run_resumable_pipeline(
 
         verdicts = apply_decontamination_gate(
             verdicts, decontaminate_against, n=decontaminate_ngram
+        )
+    if span_window:
+        # after the policy gates, before the sidecar passes — a doc that
+        # is both span-spam and a near-dup records the cheaper-to-compute
+        # reason, and fewer docs reach the shingling/encoding stages
+        from puddin_spark.operators.dedup import apply_repeated_span_gate
+
+        verdicts = apply_repeated_span_gate(
+            verdicts, window=span_window, max_flagged=span_max_flagged
         )
     raw_verdicts = verdicts = verdicts.persist()
     new_idx = None

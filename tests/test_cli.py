@@ -256,3 +256,40 @@ def test_cli_stream_drains_and_resumes(tmp_path, spark):
         str(p) for p in (tmp_path / "out" / "verdicts").glob("snap-*/data")
     ])
     assert v.select("url").distinct().count() == out2["total_docs"]
+
+
+def test_cli_export_importance_selection(tmp_path, spark):
+    """export --importance-target/--importance-budget: the DSIR selection
+    step through the real CLI — fit target-vs-corpus weights, keep the
+    highest-importance docs within the token budget, then split/pack as
+    usual. Selection is a non-empty strict subset respecting the budget."""
+    import csv
+
+    dest = str(tmp_path / "out")
+    code, out = _run(
+        ["run", "-i", JSONL, "-d", dest, "--partitions", "2", "--master", "local[4]"]
+    )
+    assert code == 0 and out["total_keep"] == 8
+    kept = spark.read.parquet(*[
+        str(p) for p in (tmp_path / "out" / "verdicts").glob("snap-*/data")
+    ]).filter("keep").orderBy("doc_id").collect()
+    target = tmp_path / "target.csv"
+    with open(target, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["text"])
+        w.writerow([kept[0].clean_text])
+    code, ex = _run(
+        ["export", "-d", dest, "--master", "local[4]", "--seq-len", "64",
+         "--splits", "train=1.0", "--importance-target", str(target),
+         "--importance-budget", "1200", "--out", str(tmp_path / "exp")]
+    )
+    assert code == 0 and ex["ok"] and ex["importance_budget"] == 1200
+    sel = spark.read.parquet(ex["out"]).collect()
+    assert 0 < len(sel) < 8  # corpus is 1725 tokens: a strict subset fits
+    assert sum(r.n_tokens for r in sel) <= 1200
+    # budget requires a target
+    code, err = _run(
+        ["export", "-d", dest, "--master", "local[4]",
+         "--importance-budget", "100", "--out", str(tmp_path / "exp2")]
+    )
+    assert code == 2 and "error" in err

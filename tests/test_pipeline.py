@@ -495,3 +495,50 @@ def test_gopher_flag_flips_failing_kept_docs(spark, tmp_path):
     ja = {r.doc_id: r for r in va.select(*cols).collect() if r.doc_id not in bad}
     jb = {r.doc_id: r for r in vb.select(*cols).collect() if r.doc_id not in bad}
     assert ja == jb
+
+
+def test_dedup_spans_flag_flips_batch_local_span_twins(spark, tmp_path):
+    """run_resumable_pipeline(span_window=): kept docs sharing a
+    window-token span flip to excl_type='dup_spans' (max_flagged=0 drops
+    all members — keep-one salvage is trim_repeated_spans' job); docs
+    without shared spans are untouched; completeness holds. Span twins
+    are injected as prefix-shifted copies (different sha, so they survive
+    exact dedup; every original span present at shifted positions)."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.snapshots import SnapshotStore, run_resumable_pipeline
+
+    base = synth_pages_local(spark, 40)
+    twins = (
+        base.where("cast(substr(url, -2) as int) % 10 = 1")
+        .withColumn("url", F.concat(F.col("url"), F.lit("-twin")))
+        .withColumn("text", F.concat(F.lit("zz qq "), F.col("text")))
+    )
+    pages = base.unionByName(twins).cache()
+    store = SnapshotStore(tmp_path / "v")
+    run_resumable_pipeline(
+        spark, pages, store, num_partitions=2, span_window=8
+    )
+    v = store.read(spark)
+    plain_store = SnapshotStore(tmp_path / "plain")
+    run_resumable_pipeline(spark, pages, plain_store, num_partitions=2)
+    vgate = plain_store.read(spark)
+    # same verdict universe as the gate-less run over the same pages
+    # (exact-text dup urls collapse to one verdict in both)
+    assert v.count() == vgate.count()
+    flipped = v.filter("excl_type = 'dup_spans'")
+    n_flipped = flipped.count()
+    # every surviving twin PAIR flips (both members; some twins fail the
+    # rule battery before the span gate, so bound rather than equate)
+    assert 0 < n_flipped < v.count()
+    assert n_flipped % 2 == 0
+    assert flipped.filter("keep or clean_text is not null").count() == 0
+    # docs without injected twins keep their plain-run verdicts
+    vp = vgate
+    untouched = v.where("url not like '%-twin'").where(
+        "excl_type is distinct from 'dup_spans'"
+    )
+    joined = untouched.alias("a").join(
+        vp.alias("b"), "url"
+    ).where("a.keep is distinct from b.keep").count()
+    assert joined == 0
