@@ -897,3 +897,52 @@ def incremental_minhash_pairs(
     return _verify_jaccard(
         cand, both.select("id", "sh"), jaccard_threshold
     ).select("id_a", "id_b", "jaccard", "committed_side")
+
+
+def duplicate_cluster_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    granularity: int = 1 << 20,
+) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, weight each
+    document by the inverse of its duplicate-cluster size (the
+    downweight-don't-drop convention: cluster members collectively count
+    as one document, so repeated boilerplate stops dominating the loss
+    without losing cluster-unique tails). Adds per document:
+
+      - cluster_root   min id reachable through the pair graph (docs in
+                       no cluster are their own root)
+      - cluster_size   number of documents in the cluster (1 if none)
+      - weight_q       granularity div cluster_size — the quantized
+                       training weight (true weight = weight_q /
+                       granularity ~ 1/cluster_size); integer arithmetic
+                       so every engine agrees bit-for-bit
+
+    Scale shape: resolve_duplicate_clusters carries only (id, label)
+    pairs; the size join is per-cluster rows; the final join back to the
+    corpus is id-to-id. Document bodies never shuffle."""
+    resolved = resolve_duplicate_clusters(pairs)
+    sizes = resolved.groupBy("root").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    per_doc = resolved.join(sizes, "root").select(
+        F.col("id").alias(id_col),
+        F.col("root").alias("cluster_root"),
+        "cluster_size",
+    )
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            "cluster_root",
+            F.coalesce(F.col("cluster_root"), F.col(id_col)),
+        )
+        .withColumn(
+            "cluster_size",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("bigint"),
+        )
+    )
+    return out.withColumn(
+        "weight_q", F.expr(f"{granularity} div cluster_size")
+    )

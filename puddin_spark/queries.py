@@ -748,6 +748,45 @@ select id, min(reach) as root from reach group by id
 """
 
 
+def q_dup_weights(spark, sf_dir):
+    """Soft dedup (dedup.duplicate_cluster_weights): every document gets
+    its near-dup cluster root, cluster size, and the quantized 1/size
+    training weight (weight_q = 2^20 div size) — the downweight-don't-
+    drop alternative to cluster removal. Pairs and resolution reuse the
+    minhash machinery of neardup_resolution; docs outside any cluster
+    weight 1.0. The oracle extends the recursive-CTE fixpoint with a
+    per-root count and a left join back to the full doc universe."""
+    docs = _neardup_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=16, band_size=2, shingle_k=3,
+        jaccard_threshold=0.5, shingle_mode="word",
+    )
+    return dedup.duplicate_cluster_weights(docs, pairs)
+
+
+def _oracle_dup_weights() -> str:
+    return f"""
+with recursive pairs as (select id_a, id_b from ({_oracle_minhash()}) q),
+edges as (select id_a as src, id_b as dst from pairs
+          union select id_b, id_a from pairs),
+reach as (
+  select src as id, dst as reach from edges
+  union select src as id, src as reach from edges
+  union select r.id, e.dst from reach r join edges e on r.reach = e.src),
+roots as (select id, min(reach) as root from reach group by id),
+sizes as (select root, count(*) as n from roots group by root),
+u as ({ORACLE_NEARDUP})
+select u.doc_id,
+       coalesce(r.root, u.doc_id) as cluster_root,
+       cast(coalesce(s.n, 1) as bigint) as cluster_size,
+       cast(1048576 // coalesce(s.n, 1) as bigint) as weight_q
+from u
+left join roots r on u.doc_id = r.id
+left join sizes s on r.root = s.root
+"""
+
+
 def q_simhash_values(spark, sf_dir):
     return dedup.simhash_table(
         read_table(spark, sf_dir, "documents"), "doc_id", "text"
@@ -2814,6 +2853,7 @@ LOCAL_QUERIES = {
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
     "importance_select": q_importance_select,
+    "dup_weights": q_dup_weights,
 }
 
 # Union for local replay + bench lookups.
@@ -2879,6 +2919,7 @@ def oracle_queries() -> dict[str, str]:
         "gopher_rules": O_GOPHER_RULES,
         "c4_rules": O_C4_RULES,
         "importance_select": _oracle_importance_select(),
+        "dup_weights": _oracle_dup_weights(),
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

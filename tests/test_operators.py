@@ -1521,3 +1521,32 @@ def test_select_top_importance_greedy_budget(spark):
     assert repart == want
     with pytest.raises(ValueError, match="non-negative"):
         select_top_importance(d, -1)
+
+
+def test_duplicate_cluster_weights_soft_dedup(spark):
+    """duplicate_cluster_weights: cluster members share root/size and get
+    weight_q = 2^20 div size; singletons are their own root at full
+    weight; the weighted corpus mass equals the deduplicated doc count
+    (up to quantization) — the soft-dedup invariant."""
+    from puddin_spark.operators.dedup import duplicate_cluster_weights
+
+    d = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id bigint"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    out = {r.doc_id: r for r in duplicate_cluster_weights(d, pairs).collect()}
+    assert len(out) == 7
+    for i in (1, 2, 3):
+        assert out[i].cluster_root == 1 and out[i].cluster_size == 3
+        assert out[i].weight_q == (1 << 20) // 3
+    for i in (5, 6):
+        assert out[i].cluster_root == 5 and out[i].cluster_size == 2
+        assert out[i].weight_q == (1 << 20) // 2
+    for i in (4, 7):
+        assert out[i].cluster_root == i and out[i].cluster_size == 1
+        assert out[i].weight_q == 1 << 20
+    # soft-dedup invariant: sum of weights ~ number of distinct clusters
+    total = sum(r.weight_q for r in out.values()) / (1 << 20)
+    assert abs(total - 4) < 1e-5  # clusters {1,2,3},{5,6},{4},{7}
