@@ -1814,6 +1814,50 @@ from j
 """.replace("__AUG__", _AUG_C4_SQL)
 
 
+# Mojibake injections: the ASCII word-soup corpus gets cohorts of
+# double-encoded UTF-8 (Latin-1 letters, cp1252 punctuation, an already-
+# clean control cohort), identical literals in both engines.
+_AUG_MOJI_SQL = (
+    "case"
+    " when doc_id % 6 = 1 then concat(text, ' cafÃ© crÃ¨me Ã©lÃ¨ve')"
+    " when doc_id % 6 = 3 then concat(text,"
+    " ' â€œsmartâ€ quotes â€“ and â€” dashes â€¦ niÃ±o â‚¬42')"
+    " when doc_id % 7 = 2 then concat(text, ' naÃ¯ve faÃ§ade crÃªpe Ã¼ber')"
+    " when doc_id % 11 = 5 then concat(text, ' already fixed é ü “clean” – text')"
+    " else text end"
+)
+
+
+def q_mojibake_fix(spark, sf_dir):
+    """Mojibake repair (operators/encoding.py): fix UTF-8 mis-decoded as
+    Latin-1/cp1252 via the ordered replace chain compiled from
+    MOJIBAKE_PAIRS — one pure-codegen projection; marker count flags
+    suspicious docs before repair. Spark expr and DuckDB oracle are
+    generated from the SAME pair table (single source of truth), so any
+    table edit keeps both engines in lockstep."""
+    from puddin_spark.operators.encoding import with_mojibake_fixed
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_AUG_MOJI_SQL).alias("text")
+    )
+    return with_mojibake_fixed(d).select(
+        "doc_id", "mojibake_markers", "fixed_text"
+    )
+
+
+def _oracle_mojibake_fix() -> str:
+    from puddin_spark.operators.encoding import _MARKER_RE, duckdb_fix_sql
+
+    return f"""
+with t as (select doc_id, {_AUG_MOJI_SQL} as text from documents)
+select doc_id,
+       cast(len(regexp_extract_all(text, '{_MARKER_RE}')) as int)
+         as mojibake_markers,
+       {duckdb_fix_sql("text")} as fixed_text
+from t
+"""
+
+
 def q_importance_scores(spark, sf_dir):
     """DSIR-style hashed-unigram importance scoring
     (operators.importance): fit 256-bucket log-likelihood-ratio weights
@@ -2854,6 +2898,7 @@ LOCAL_QUERIES = {
     "c4_rules": q_c4_rules,
     "importance_select": q_importance_select,
     "dup_weights": q_dup_weights,
+    "mojibake_fix": q_mojibake_fix,
 }
 
 # Union for local replay + bench lookups.
@@ -2920,6 +2965,7 @@ def oracle_queries() -> dict[str, str]:
         "c4_rules": O_C4_RULES,
         "importance_select": _oracle_importance_select(),
         "dup_weights": _oracle_dup_weights(),
+        "mojibake_fix": _oracle_mojibake_fix(),
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

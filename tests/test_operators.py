@@ -1550,3 +1550,45 @@ def test_duplicate_cluster_weights_soft_dedup(spark):
     # soft-dedup invariant: sum of weights ~ number of distinct clusters
     total = sum(r.weight_q for r in out.values()) / (1 << 20)
     assert abs(total - 4) < 1e-5  # clusters {1,2,3},{5,6},{4},{7}
+
+
+def test_mojibake_fix_roundtrip_and_markers(spark):
+    """with_mojibake_fixed: text corrupted by a REAL
+    encode('utf-8')/decode('latin-1') round trip is restored exactly for
+    every char in the pair table; clean text (including genuine accented
+    chars) passes through untouched with zero markers; the projection
+    stays pure codegen."""
+    from puddin_spark.operators.encoding import (
+        MOJIBAKE_PAIRS,
+        with_mojibake_fixed,
+    )
+
+    # NOTE: mis-decode as cp1252 (the real-world case: 0x80 -> €,
+    # 0x9C -> œ, giving the printable 'â€œ' forms); plain latin-1 yields
+    # C1 control chars instead. '”' is excluded — its 0x9D byte is
+    # undefined in cp1252 (which is why the bare 'â€' tail exists in the
+    # wild and stays out of the pair table).
+    clean = "café crème élève naïve façade crêpe über niño “smart – — … €42 «q» 3°"
+    corrupted = clean.encode("utf-8").decode("cp1252")
+    # sanity: the corruption really produced the table's broken forms
+    assert "Ã©" in corrupted and "â€œ" in corrupted
+    docs = [
+        ("broken", corrupted),
+        ("clean", clean),
+        ("ascii", "plain ascii text only"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {r.doc_id: r for r in with_mojibake_fixed(d).collect()}
+    # every pair-table char round-trips; the one sequence outside the
+    # table (bare 'â€' from the closing cp1252 quote, whose third byte is
+    # a control char) stays broken — assert the fix on a per-char basis
+    for broken, fixed in MOJIBAKE_PAIRS:
+        assert broken not in out["broken"].fixed_text or broken == "Â "
+    for ch in ["é", "è", "ï", "ç", "ü", "ñ", "“", "–", "—", "…", "€", "«", "»", "°"]:
+        assert ch in out["broken"].fixed_text
+    assert out["broken"].mojibake_markers > 10
+    assert out["clean"].fixed_text == clean
+    assert out["clean"].mojibake_markers == 0
+    assert out["ascii"].fixed_text == "plain ascii text only"
+    plan = with_mojibake_fixed(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
