@@ -67,6 +67,7 @@ def cmd_run(args) -> int:
         srp_planes=args.srp_planes,
         srp_bands=args.srp_bands,
         html_fallback=args.html_fallback,
+        fix_mojibake=args.fix_mojibake,
         blocked_domains=blocked,
         gopher=args.gopher,
         gopher_min_words=args.gopher_min_words,
@@ -435,6 +436,7 @@ def cmd_stream(args) -> int:
         srp_planes=args.srp_planes,
         srp_bands=args.srp_bands,
         html_fallback=args.html_fallback,
+        fix_mojibake=args.fix_mojibake,
         gopher=args.gopher,
         gopher_min_words=args.gopher_min_words,
         c4=args.c4,
@@ -604,6 +606,13 @@ def main(argv: list[str] | None = None) -> int:
                 action="store_true",
                 help="extract text from the html column (JVM regexp chain)"
                 " for rows whose WET text is null/empty",
+            )
+            sp.add_argument(
+                "--fix-mojibake",
+                action="store_true",
+                dest="fix_mojibake",
+                help="repair double-encoded UTF-8 in incoming text"
+                " (cafÃ© -> café) before hashing and scrubbing",
             )
             sp.add_argument(
                 "--gopher",

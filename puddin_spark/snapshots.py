@@ -560,6 +560,7 @@ def run_resumable_pipeline(
     srp_planes: int | None = None,
     srp_bands: int | None = None,
     html_fallback: bool = False,
+    fix_mojibake: bool = False,
     blocked_domains=None,
     gopher: bool = False,
     gopher_min_words: int = 50,
@@ -617,6 +618,15 @@ def run_resumable_pipeline(
     match or omit them — band keys from different configs are
     incomparable, so a mismatch raises instead of silently generating no
     candidates.
+
+    fix_mojibake=True repairs double-encoded UTF-8 in the incoming text
+    (operators/encoding.py replace chain — pure codegen) BEFORE anything
+    else: before the resume sha2 digest (so a re-crawl delivering the
+    repaired bytes of an already-processed corrupted page still
+    anti-joins consistently within a flagged pipeline) and before the
+    scrub/translit chain (translit would mangle 'Ã©' into 'A(c)' instead
+    of 'e'). Off by default: the reference corpus is already repaired
+    upstream, and byte-parity with its fixtures is the default contract.
 
     gopher=True composes the Gopher/MassiveText heuristic rule battery
     (textstats.apply_gopher_gate — word-count/word-length bounds, symbol
@@ -679,6 +689,14 @@ def run_resumable_pipeline(
         from puddin_spark.operators.html import with_html_fallback
 
         pages = with_html_fallback(pages)
+    if fix_mojibake:
+        # also before the digest anti-join: within a flagged pipeline the
+        # committed digests are of REPAIRED text, so the incoming side
+        # must hash the same form or resume would reprocess every
+        # corrupted page on every run
+        from puddin_spark.operators.encoding import fix_mojibake_expr
+
+        pages = pages.withColumn("text", F.expr(fix_mojibake_expr("text")))
     committed = store.read(spark)
     todo = pages
     seen = None

@@ -44,6 +44,7 @@ def run_streaming_pipeline(
     srp_planes: int | None = None,
     srp_bands: int | None = None,
     html_fallback: bool = False,
+    fix_mojibake: bool = False,
     gopher: bool = False,
     gopher_min_words: int = 50,
     c4: bool = False,
@@ -66,6 +67,7 @@ def run_streaming_pipeline(
             srp_planes=srp_planes,
             srp_bands=srp_bands,
             html_fallback=html_fallback,
+            fix_mojibake=fix_mojibake,
             gopher=gopher,
             gopher_min_words=gopher_min_words,
             c4=c4,

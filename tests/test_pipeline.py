@@ -542,3 +542,51 @@ def test_dedup_spans_flag_flips_batch_local_span_twins(spark, tmp_path):
         vp.alias("b"), "url"
     ).where("a.keep is distinct from b.keep").count()
     assert joined == 0
+
+
+def test_fix_mojibake_flag_restores_clean_run_verdicts(spark, tmp_path):
+    """run_resumable_pipeline(fix_mojibake=True) over a corpus whose text
+    was mis-decoded as cp1252 commits byte-identical verdicts (keeps,
+    clean_text, text_sha) to the plain run over the uncorrupted corpus —
+    the repair happens before hashing and scrubbing, so downstream is
+    indistinguishable from a clean crawl."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from puddin_spark.snapshots import SnapshotStore, run_resumable_pipeline
+
+    # ASCII word-soup only: fixture docs carry cp1252-undefined bytes,
+    # and the translit-sentinel cohort (U+E000) corrupts to sequences
+    # outside the repair table (correctly — that is not real mojibake);
+    # inject accents SQL-side, then corrupt with the real mis-decode
+    base = synth_pages_local(spark, 50, include_fixtures=False).where(
+        r"text not rlike '[^\\x00-\\x7F]'"
+    )
+    accented = base.withColumn(
+        "text",
+        F.expr("replace(replace(text, 'the', 'thé'), 'town', 'tôwn“')"),
+    ).cache()
+
+    @F.udf(T.StringType())
+    def cp1252(s):
+        return None if s is None else s.encode("utf-8").decode("cp1252")
+
+    corrupted = accented.withColumn("text", cp1252("text"))
+    a_store = SnapshotStore(tmp_path / "clean")
+    b_store = SnapshotStore(tmp_path / "fixed")
+    run_resumable_pipeline(spark, accented, a_store, num_partitions=2)
+    run_resumable_pipeline(
+        spark, corrupted, b_store, num_partitions=2, fix_mojibake=True
+    )
+    va = {r.url: r for r in a_store.read(spark).collect()}
+    vb = {r.url: r for r in b_store.read(spark).collect()}
+    assert set(va) == set(vb) and len(va) > 0
+    for u in va:
+        assert va[u].keep == vb[u].keep, u
+        assert va[u].clean_text == vb[u].clean_text, u
+        assert va[u].text_sha == vb[u].text_sha, u
+    # and the corrupted run WITHOUT the flag diverges (the corruption is real)
+    c_store = SnapshotStore(tmp_path / "broken")
+    run_resumable_pipeline(spark, corrupted, c_store, num_partitions=2)
+    vc = {r.url: r for r in c_store.read(spark).collect()}
+    assert any(vc[u].text_sha != va[u].text_sha for u in va if u in vc)
