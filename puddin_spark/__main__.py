@@ -355,6 +355,26 @@ def cmd_export(args) -> int:
         docs = docs.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
     if args.budget:
         docs = token_budget_sample(docs, args.budget, "n_tokens", salt=args.salt)
+    if args.dup_weights:
+        # SOFT dedup for training: attach weight_q = 2^20 div near-dup
+        # cluster size so the trainer can downweight duplicates instead
+        # of the pipeline dropping them (near-dup flips at ingest remove
+        # cross-batch twins; this covers whatever policy chose to keep)
+        from puddin_spark.operators.dedup import (
+            duplicate_cluster_weights,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            docs, "doc_id", "clean_text",
+            num_hashes=16, band_size=2, shingle_k=3,
+            jaccard_threshold=0.8, shingle_mode="word",
+            hash_impl="xxhash64",
+        )
+        w = duplicate_cluster_weights(docs, pairs)
+        docs = docs.join(
+            w.select("doc_id", "cluster_size", "weight_q"), "doc_id"
+        )
     docs = hash_split(docs, weights, salt=args.salt)
     out_dir = args.out or f"{args.dest}/export"
     # lay out each split independently (splits train separately; a shared
@@ -562,6 +582,14 @@ def main(argv: list[str] | None = None) -> int:
                 help="keep only the highest-DSIR-importance docs fitting"
                 " this token budget (requires --importance-target);"
                 " applied before --budget/splitting",
+            )
+            sp.add_argument(
+                "--dup-weights",
+                action="store_true",
+                dest="dup_weights",
+                help="attach soft-dedup columns (cluster_size, weight_q ="
+                " 2^20 div near-dup cluster size) so the trainer can"
+                " downweight near-duplicates instead of dropping them",
             )
         if name == "run":
             sp.add_argument("--limit", type=int, default=0)

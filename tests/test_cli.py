@@ -293,3 +293,50 @@ def test_cli_export_importance_selection(tmp_path, spark):
          "--importance-budget", "100", "--out", str(tmp_path / "exp2")]
     )
     assert code == 2 and "error" in err
+
+
+def test_cli_export_dup_weights(tmp_path, spark):
+    """export --dup-weights: soft-dedup columns ride the packed export —
+    near-dup twins share a cluster at weight 1/2, unique docs weight 1.0."""
+    from pyspark.sql import functions as F
+    from puddin_spark.synth import SPARK_SCHEMA_DDL, gen_rows
+
+    pages_dir = str(tmp_path / "pages")
+    base = spark.createDataFrame(
+        gen_rows(0, 40, include_fixtures=False), SPARK_SCHEMA_DDL
+    ).where(r"text not rlike '[^\\x00-\\x7F]'")
+    twins = (
+        base.limit(3)
+        .withColumn("url", F.concat(F.col("url"), F.lit("-t")))
+        .withColumn(
+            "text", F.concat(F.col("text"), F.lit(" tiny extra tail"))
+        )
+    )
+    base.unionByName(twins).write.parquet(pages_dir)
+    dest = str(tmp_path / "out")
+    code, out = _run(
+        ["run", "-i", pages_dir, "-d", dest, "--partitions", "2",
+         "--master", "local[4]"]
+    )
+    assert code == 0 and out["total_keep"] > 3
+    code, ex = _run(
+        ["export", "-d", dest, "--master", "local[4]", "--seq-len", "64",
+         "--splits", "train=1.0", "--dup-weights",
+         "--out", str(tmp_path / "exp")]
+    )
+    assert code == 0 and ex["ok"]
+    rows = spark.read.parquet(ex["out"]).collect()
+    assert {"cluster_size", "weight_q"} <= {c for r in rows for c in r.asDict()}
+    by_url = {r.url: r for r in rows}
+    halves = [r for r in rows if r.weight_q == (1 << 20) // 2]
+    fulls = [r for r in rows if r.weight_q == (1 << 20)]
+    # each surviving twin pair contributes two half-weight members
+    assert len(halves) >= 2 and len(halves) % 2 == 0
+    assert len(fulls) == len(rows) - len(halves)
+    for r in halves:
+        mate = (
+            by_url.get(r.url[:-2])
+            if r.url.endswith("-t")
+            else by_url.get(r.url + "-t")
+        )
+        assert mate is not None and mate.weight_q == r.weight_q
