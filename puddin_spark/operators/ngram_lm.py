@@ -1,0 +1,295 @@
+"""Distributed KenLM-style n-gram language model: train AND score as
+DataFrame plans.
+
+North-star surface: "KenLM-style n-gram perplexity scoring". The module
+`models.CharLMModel` is the per-executor in-memory scorer (the seam a real
+KenLM binary drops into); THIS module is the scale path for the model
+*itself*: at 10^12 documents the n-gram table of a corpus-trained LM does
+not fit on the driver or inside a Python worker, so both training and
+scoring stay distributed:
+
+- **Training** (`ngram_counts` -> `ngram_lm`): one scan of the corpus
+  builds every order's grams via a single flatten/explode (no per-order
+  re-scan), one shuffle aggregates counts (map-side partial aggregation —
+  the shuffle carries (gram, partial-count), never gram instances), and a
+  per-order prefix self-join converts counts to KenLM-format conditional
+  probabilities: each row stores log p(w | history) directly, so scoring
+  never joins for denominators.
+- **Scoring** (`score_perplexity`): stupid backoff (KenLM's large-scale
+  smoothing; Brants et al. 2007) from the highest order with available
+  context. Three hash joins on gram keys — trigram, bigram, unigram —
+  resolve each token position; backoff is a CASE over the join results
+  with a constant log-alpha penalty per backed-off order. No Python
+  anywhere in either path: every expression is codegen.
+
+Determinism contract (the bit-exact oracle gate): log-probs are stored as
+**fixed-point BIGINT micro-nats** (round(ln(p) * 1e6)). Every per-token
+log-prob is therefore an exact integer, the per-document sum is integer
+arithmetic (order-independent — float summation order would diverge
+between engines and between runs), and only the final
+perplexity = exp(-avg) returns to double, rounded to 4 dp.
+
+Scale notes (100 TB shape):
+- min_count pruning (orders >= 2) bounds the LM table; unigrams are never
+  pruned so OOV backoff terminates at a real count, not the floor.
+- The scoring joins are N-to-1 (LM grams are unique); hot probe keys
+  (stopword unigrams) are classic AQE-skew-join territory — the LM side is
+  tiny per key, so Spark's skew split handles it without salting.
+- Pass broadcast_lm=True when the pruned LM fits in executor memory
+  (common after min_count pruning even at large corpus scale — vocabulary
+  grows ~ Heaps' law, not linearly); the three joins then ship no corpus
+  bytes at all.
+
+Reference analog: parse_pile.py's per-doc scoring loop is the sequential
+twin; BASELINE.json names "KenLM-style n-gram perplexity scoring" as the
+north-star component this module re-expresses Spark-first.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed-point scale: micro-nats. 1e6 keeps |logp| * positions well inside
+# BIGINT while making the ln-rounding granularity (1e-6 nat) far coarser
+# than the <=1-ulp ln() disagreement between engines.
+FP_SCALE = 1_000_000
+
+DEFAULT_ALPHA = 0.4  # stupid-backoff penalty (Brants et al. 2007)
+FLOOR_P = 1e-7  # OOV floor probability (matches models.CharLMModel)
+
+
+def log_alpha_fp(alpha: float = DEFAULT_ALPHA) -> int:
+    return int(round(math.log(alpha) * FP_SCALE))
+
+
+def floor_fp() -> int:
+    return int(round(math.log(FLOOR_P) * FP_SCALE))
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens of lowercased text, empties dropped — the exact
+    tokenization the DuckDB oracles mirror (string_split_regex + filter)."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def ngram_counts(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(order, gram, cnt) counts for every order 1..n in ONE corpus scan.
+
+    All orders' grams emerge from a single flatten(array(transform...))
+    projection followed by one explode — Catalyst keeps the whole gram
+    generation inside WholeStageCodegen, and the only shuffle is the
+    final partial-aggregated groupBy. gram is the space-joined token
+    window (KenLM's text format)."""
+    if n < 1:
+        raise ValueError(f"ngram_counts: n must be >= 1, got {n}")
+    per_order = []
+    for k in range(1, n + 1):
+        per_order.append(
+            f"transform("
+            f"  if(size(_t) >= {k}, sequence(1, size(_t) - {k} + 1), array()),"
+            f"  i -> struct({k} as order, array_join(slice(_t, i, {k}), ' ') as gram))"
+        )
+    grams = F.expr("flatten(array(" + ", ".join(per_order) + "))")
+    return (
+        docs.select(tokens_col(text_col).alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(F.explode(grams).alias("_g"))
+        .select(F.col("_g.order").alias("order"), F.col("_g.gram").alias("gram"))
+        .groupBy("order", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ngram_lm(
+    counts: DataFrame,
+    n: int = 3,
+    min_count: int = 1,
+    prune_orders_from: int = 2,
+) -> DataFrame:
+    """KenLM-format model table (order, gram, logp_fp) from an
+    ngram_counts frame: logp_fp = round(ln(p(w | history)) * 1e6) as
+    BIGINT, where p = cnt(gram) / cnt(prefix) for order >= 2 and
+    cnt / total_tokens for unigrams.
+
+    The order-k numerator joins the order-(k-1) prefix counts on
+    substring_index(gram, ' ', k-1) — a training-time-only self-join.
+    min_count prunes orders >= prune_orders_from (unigrams stay: OOV
+    backoff must terminate at a real count)."""
+    counts = counts.select("order", "gram", "cnt")
+    uni = counts.filter(F.col("order") == 1)
+    total = uni.agg(F.sum("cnt").alias("_tot"))  # 1-row; broadcast join
+    parts = [
+        uni.join(F.broadcast(total))
+        .select(
+            "order",
+            "gram",
+            F.round(F.log(F.col("cnt") / F.col("_tot")) * FP_SCALE)
+            .cast("bigint")
+            .alias("logp_fp"),
+        )
+    ]
+    for k in range(2, n + 1):
+        num = counts.filter(F.col("order") == k)
+        if min_count > 1 and k >= prune_orders_from:
+            num = num.filter(F.col("cnt") >= min_count)
+        den = counts.filter(F.col("order") == k - 1).select(
+            F.col("gram").alias("_pfx"), F.col("cnt").alias("_dcnt")
+        )
+        parts.append(
+            num.withColumn("_pfx", F.substring_index("gram", " ", k - 1))
+            .join(den, "_pfx")
+            .select(
+                "order",
+                "gram",
+                F.round(F.log(F.col("cnt") / F.col("_dcnt")) * FP_SCALE)
+                .cast("bigint")
+                .alias("logp_fp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def train_ngram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 1,
+    materialize: bool = False,
+) -> DataFrame:
+    """Corpus -> KenLM-format LM table in one plan (see ngram_lm).
+
+    materialize=True localCheckpoints the counts table (vocab-scale, tiny
+    next to the corpus) before the per-order prefix self-joins reference
+    it — otherwise each of the ~6 references to `counts` in the LM plan
+    re-scans the corpus. Production runs persist the trained LM to
+    storage once and read it back; materialize covers in-plan composition
+    (the catalog gates). Caller frees with dedup.free_local_checkpoints
+    when done."""
+    counts = ngram_counts(docs, text_col, n)
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
+    return ngram_lm(counts, n=n, min_count=min_count)
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    alpha: float = DEFAULT_ALPHA,
+    broadcast_lm: bool = False,
+    checkpoint_lm: bool = False,
+) -> DataFrame:
+    """(id_col, n_tokens, ppl): stupid-backoff perplexity of each document
+    under the LM table, entirely via joins — no per-row Python, no model
+    object on any worker.
+
+    Each token position becomes one small row (pos, w, h1, h2) built by a
+    transform-over-indices BEFORE the explode, so exploded rows never
+    carry the document's token array (the naive posexplode-then-index
+    plan copies the whole array into every position row — O(len^2) bytes
+    per giant doc, exactly the skew the north-star calls out). Three
+    left joins fetch log p at each order; backoff picks the highest
+    available order with a constant ln(alpha) fixed-point penalty per
+    step down. Integer-sum then one exp at the end.
+
+    Documents with zero tokens return ppl = NULL (n_tokens = 0).
+
+    checkpoint_lm=True localCheckpoints the LM before the three probes —
+    required when `lm` is an in-plan derivation (each probe would
+    otherwise re-run LM training); unnecessary when `lm` was read from
+    storage, the production shape.
+    """
+    if n != 3:
+        raise ValueError("score_perplexity: only n=3 (trigram) is wired")
+    if checkpoint_lm:
+        lm = lm.localCheckpoint(eager=True)
+    la = F.lit(log_alpha_fp(alpha))
+    base = docs.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t"))
+    pos = (
+        base.filter(F.size("_t") > 0)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t)), i -> struct("
+                    "  _t[i-1] as w,"
+                    "  if(i >= 2, _t[i-2], null) as h1,"
+                    "  if(i >= 3, _t[i-3], null) as h2))"
+                )
+            ).alias("_p"),
+        )
+        .select("_id", "_p.w", "_p.h1", "_p.h2")
+    )
+    lm = lm.select("order", "gram", "logp_fp")
+    if broadcast_lm:
+        lm = F.broadcast(lm)
+    l3 = lm.filter(F.col("order") == 3).select(
+        F.col("gram").alias("_k3"), F.col("logp_fp").alias("_lp3")
+    )
+    l2 = lm.filter(F.col("order") == 2).select(
+        F.col("gram").alias("_k2"), F.col("logp_fp").alias("_lp2")
+    )
+    l1 = lm.filter(F.col("order") == 1).select(
+        F.col("gram").alias("_k1"), F.col("logp_fp").alias("_lp1")
+    )
+    scored = (
+        pos.withColumn(
+            "_k3",
+            F.when(
+                F.col("h2").isNotNull(),
+                F.concat_ws(" ", "h2", "h1", "w"),
+            ),
+        )
+        .withColumn(
+            "_k2",
+            F.when(F.col("h1").isNotNull(), F.concat_ws(" ", "h1", "w")),
+        )
+        .withColumn("_k1", F.col("w"))
+        .join(l3, "_k3", "left")
+        .join(l2, "_k2", "left")
+        .join(l1, "_k1", "left")
+        .withColumn(
+            "_lp",
+            F.when(F.col("_lp3").isNotNull(), F.col("_lp3"))
+            .when(
+                F.col("_lp2").isNotNull(),
+                F.col("_lp2")
+                + F.when(F.col("h2").isNotNull(), la).otherwise(F.lit(0)),
+            )
+            .when(
+                F.col("_lp1").isNotNull(),
+                F.col("_lp1")
+                + F.when(F.col("h2").isNotNull(), F.lit(2))
+                .when(F.col("h1").isNotNull(), F.lit(1))
+                .otherwise(F.lit(0))
+                * la,
+            )
+            .otherwise(F.lit(floor_fp())),
+        )
+    )
+    agg = scored.groupBy("_id").agg(
+        F.sum("_lp").alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        base.select("_id", F.size("_t").alias("n_tokens"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(
+                F.exp(-(F.col("_s") / F.lit(float(FP_SCALE))) / F.col("_c")), 4
+            ).alias("ppl"),
+        )
+    )

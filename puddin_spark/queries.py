@@ -1048,6 +1048,115 @@ limit 200
 """
 
 
+def q_ngram_lm_table(spark, sf_dir):
+    """Distributed KenLM-style LM TRAINING (operators/ngram_lm.py): corpus
+    -> (order, gram, logp_fp) conditional-probability table, log-probs in
+    fixed-point micro-nats. One corpus scan builds all orders' grams
+    (flatten + single explode), one partial-aggregated shuffle counts
+    them, per-order prefix self-joins produce KenLM-format rows. Top 300
+    by (order, logp_fp desc, gram) — a total order, so the limit is
+    deterministic."""
+    from puddin_spark.operators import ngram_lm as nlm
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        nlm.train_ngram_lm(d, n=3, materialize=True)
+        .orderBy("order", F.desc("logp_fp"), "gram")
+        .limit(300)
+    )
+
+
+def q_ngram_perplexity(spark, sf_dir):
+    """Distributed KenLM-style perplexity SCORING: stupid backoff via three
+    hash joins against the corpus-trained LM table — no model object on
+    any worker, no Python in the plan. Self-perplexity over the documents
+    table (train and score on the same corpus: fully deterministic, no
+    fixture dependency). Integer fixed-point log-prob sums; one exp at
+    the end."""
+    from puddin_spark.operators import ngram_lm as nlm
+
+    d = read_table(spark, sf_dir, "documents")
+    lm = nlm.train_ngram_lm(d, n=3, materialize=True)
+    return nlm.score_perplexity(d, lm, broadcast_lm=True, checkpoint_lm=True)
+
+
+def _oracle_ngram_lm_cte() -> str:
+    """Shared DuckDB CTE chain: tokenize -> per-order counts -> KenLM-format
+    LM table, mirroring operators/ngram_lm.py bit-for-bit (same fixed-point
+    scale, same rounding)."""
+    return """
+d as (select doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') as t
+      from documents),
+g as (select doc_id, t from d where len(t) > 0),
+c1 as (select t[i] as gram, count(*) as cnt
+       from (select t, unnest(range(1, len(t) + 1)) as i from g)
+       group by gram),
+c2 as (select array_to_string(t[i:i+1], ' ') as gram, count(*) as cnt
+       from (select t, unnest(range(1, len(t))) as i from g where len(t) >= 2)
+       group by gram),
+c3 as (select array_to_string(t[i:i+2], ' ') as gram, count(*) as cnt
+       from (select t, unnest(range(1, len(t) - 1)) as i from g where len(t) >= 3)
+       group by gram),
+tot as (select sum(cnt) as tot from c1),
+l1 as (select 1 as "order", gram,
+              cast(round(ln(cnt / tot) * 1000000) as bigint) as logp_fp
+       from c1, tot),
+l2 as (select 2 as "order", c2.gram,
+              cast(round(ln(c2.cnt / p.cnt) * 1000000) as bigint) as logp_fp
+       from c2 join c1 p on p.gram = string_split(c2.gram, ' ')[1]),
+l3 as (select 3 as "order", c3.gram,
+              cast(round(ln(c3.cnt / p.cnt) * 1000000) as bigint) as logp_fp
+       from c3 join c2 p
+         on p.gram = array_to_string(string_split(c3.gram, ' ')[1:2], ' ')),
+lm as (select * from l1 union all select * from l2 union all select * from l3)
+""".strip()
+
+
+O_NGRAM_LM_TABLE = f"""
+with {_oracle_ngram_lm_cte()}
+select "order", gram, logp_fp from lm
+order by "order", logp_fp desc, gram
+limit 300
+"""
+
+
+def _oracle_ngram_perplexity() -> str:
+    from puddin_spark.operators.ngram_lm import floor_fp, log_alpha_fp
+
+    la, fl = log_alpha_fp(), floor_fp()
+    return f"""
+with {_oracle_ngram_lm_cte()},
+pos as (select doc_id, t[i] as w,
+               case when i >= 2 then t[i-1] end as h1,
+               case when i >= 3 then t[i-2] end as h2
+        from (select doc_id, t, unnest(range(1, len(t) + 1)) as i from g)),
+sc as (select p.doc_id,
+  case when l3.logp_fp is not null then l3.logp_fp
+       when l2.logp_fp is not null
+         then l2.logp_fp + (case when p.h2 is not null then {la} else 0 end)
+       when l1.logp_fp is not null
+         then l1.logp_fp + (case when p.h2 is not null then 2
+                                 when p.h1 is not null then 1
+                                 else 0 end) * {la}
+       else {fl} end as lp
+  from pos p
+  left join (select gram, logp_fp from lm where "order" = 3) l3
+    on l3.gram = p.h2 || ' ' || p.h1 || ' ' || p.w
+  left join (select gram, logp_fp from lm where "order" = 2) l2
+    on l2.gram = p.h1 || ' ' || p.w
+  left join (select gram, logp_fp from lm where "order" = 1) l1
+    on l1.gram = p.w),
+ag as (select doc_id, cast(sum(lp) as bigint) as s, count(*) as c
+       from sc group by doc_id),
+base as (select doc_id, cast(len(t) as int) as n_tokens from d)
+select b.doc_id, b.n_tokens,
+       round(exp(-(a.s / 1000000.0) / a.c), 4) as ppl
+from base b left join ag a using (doc_id)
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5")
@@ -2899,6 +3008,11 @@ LOCAL_QUERIES = {
     "importance_select": q_importance_select,
     "dup_weights": q_dup_weights,
     "mojibake_fix": q_mojibake_fix,
+    # r5 session-5: distributed KenLM-style n-gram LM — training as
+    # aggregation + prefix self-join, scoring as three backoff hash joins
+    # (rotate into the driver 50 in r6)
+    "ngram_lm_table": q_ngram_lm_table,
+    "ngram_perplexity": q_ngram_perplexity,
 }
 
 # Union for local replay + bench lookups.
@@ -2966,6 +3080,8 @@ def oracle_queries() -> dict[str, str]:
         "importance_select": _oracle_importance_select(),
         "dup_weights": _oracle_dup_weights(),
         "mojibake_fix": _oracle_mojibake_fix(),
+        "ngram_lm_table": O_NGRAM_LM_TABLE,
+        "ngram_perplexity": _oracle_ngram_perplexity(),
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,

@@ -1,0 +1,202 @@
+"""Distributed KenLM-style n-gram LM (operators/ngram_lm.py): parity with a
+plain-Python stupid-backoff reference, edge cases, and plan shape.
+
+The catalog gates (ngram_lm_table / ngram_perplexity) are replayed against
+their DuckDB oracles by tests/test_queries.py; this file proves the
+SEMANTICS against an independent sequential implementation — the same
+two-sided strategy the model gates use (golden from a Spark-free replay).
+"""
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from puddin_spark.operators import ngram_lm as nlm
+
+FP = nlm.FP_SCALE
+
+
+# --- sequential reference implementation (independent of the Spark code) ---
+
+
+def _py_counts(docs: list[str], n: int = 3):
+    counts = [dict() for _ in range(n)]
+    for doc in docs:
+        toks = [t for t in doc.lower().split() if t]
+        for k in range(1, n + 1):
+            for i in range(len(toks) - k + 1):
+                g = " ".join(toks[i : i + k])
+                counts[k - 1][g] = counts[k - 1].get(g, 0) + 1
+    return counts
+
+
+def _py_lm(counts, n: int = 3):
+    total = sum(counts[0].values())
+    lm = {}
+    for g, c in counts[0].items():
+        lm[(1, g)] = int(round(math.log(c / total) * FP))
+    for k in range(2, n + 1):
+        for g, c in counts[k - 1].items():
+            pfx = " ".join(g.split(" ")[: k - 1])
+            lm[(k, g)] = int(round(math.log(c / counts[k - 2][pfx]) * FP))
+    return lm
+
+
+def _py_ppl(text: str, lm, alpha: float = nlm.DEFAULT_ALPHA):
+    la = int(round(math.log(alpha) * FP))
+    fl = int(round(math.log(nlm.FLOOR_P) * FP))
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return 0, None
+    s = 0
+    for i, w in enumerate(toks):
+        h1 = toks[i - 1] if i >= 1 else None
+        h2 = toks[i - 2] if i >= 2 else None
+        lp3 = lm.get((3, f"{h2} {h1} {w}")) if h2 is not None else None
+        lp2 = lm.get((2, f"{h1} {w}")) if h1 is not None else None
+        lp1 = lm.get((1, w))
+        if lp3 is not None:
+            s += lp3
+        elif lp2 is not None:
+            s += lp2 + (la if h2 is not None else 0)
+        elif lp1 is not None:
+            s += lp1 + (2 if h2 is not None else 1 if h1 is not None else 0) * la
+        else:
+            s += fl
+    return len(toks), round(math.exp(-(s / FP) / len(toks)), 4)
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the cat sat on the hat",
+    "the dog sat on the mat",
+    "a cat and a dog",
+    "the the the the",
+    "one",
+    "two words",
+    "",  # empty doc: n_tokens 0, ppl NULL
+    "  padded   whitespace  tokens ",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id bigint, text string"
+    )
+
+
+def test_counts_match_reference(spark, corpus_df):
+    got = {
+        (r["order"], r["gram"]): r["cnt"]
+        for r in nlm.ngram_counts(corpus_df).collect()
+    }
+    ref = _py_counts(CORPUS)
+    want = {
+        (k, g): c for k in (1, 2, 3) for g, c in ref[k - 1].items()
+    }
+    assert got == want
+
+
+def test_lm_logps_match_reference(spark, corpus_df):
+    got = {
+        (r["order"], r["gram"]): r["logp_fp"]
+        for r in nlm.train_ngram_lm(corpus_df).collect()
+    }
+    want = _py_lm(_py_counts(CORPUS))
+    assert got == want
+
+
+def test_perplexity_matches_reference_all_backoff_paths(spark, corpus_df):
+    lm_df = nlm.train_ngram_lm(corpus_df)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in nlm.score_perplexity(corpus_df, lm_df).collect()
+    }
+    lm = _py_lm(_py_counts(CORPUS))
+    assert len(got) == len(CORPUS)
+    for i, text in enumerate(CORPUS):
+        n_tok, ppl = _py_ppl(text, lm)
+        assert got[i][0] == n_tok, f"doc {i} n_tokens"
+        assert got[i][1] == ppl, f"doc {i} ppl"
+
+
+def test_scoring_oov_floor_and_backoff(spark, corpus_df):
+    """Docs unseen at training time exercise every backoff path, including
+    the OOV floor (token never seen as a unigram)."""
+    lm_df = nlm.train_ngram_lm(corpus_df)
+    new_docs = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),  # all trigrams seen: self path
+            (101, "cat on mat"),  # seen unigrams, unseen bigrams
+            (102, "zyx wvu tsr"),  # pure OOV: floor every position
+            (103, "the zyx cat"),  # mixed
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in nlm.score_perplexity(new_docs, lm_df).collect()
+    }
+    lm = _py_lm(_py_counts(CORPUS))
+    for did, text in [
+        (100, "the cat sat on the mat"),
+        (101, "cat on mat"),
+        (102, "zyx wvu tsr"),
+        (103, "the zyx cat"),
+    ]:
+        assert got[did] == _py_ppl(text, lm)[1], did
+    # the all-OOV doc sits exactly at the floor: exp(-ln(1e-7)) = 1e7
+    assert got[102] == pytest.approx(1e7, rel=1e-4)
+    # in-domain text scores (much) better than OOV gibberish
+    assert got[100] < got[101] < got[102]
+
+
+def test_min_count_prunes_high_orders_only(spark, corpus_df):
+    lm = nlm.train_ngram_lm(corpus_df, min_count=2)
+    rows = lm.collect()
+    counts = _py_counts(CORPUS)
+    # unigrams never pruned
+    assert {r["gram"] for r in rows if r["order"] == 1} == set(counts[0])
+    # orders >= 2: only grams with cnt >= 2 survive
+    for k in (2, 3):
+        want = {g for g, c in counts[k - 1].items() if c >= 2}
+        assert {r["gram"] for r in rows if r["order"] == k} == want
+
+
+def test_no_python_in_either_plan(spark, corpus_df):
+    """Training and scoring are 100% JVM: no BatchEvalPython / ArrowEval
+    nodes anywhere — the whole point of join-based scoring vs the
+    models.CharLMModel UDF path."""
+    lm_df = nlm.train_ngram_lm(corpus_df)
+    for df in (lm_df, nlm.score_perplexity(corpus_df, lm_df)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_exploded_rows_do_not_carry_token_arrays(spark, corpus_df):
+    """The position rows are built by transform-over-indices BEFORE the
+    explode, so the generator's output schema carries only the small
+    (w, h1, h2) struct — never the full token array (the O(len^2) giant-doc
+    trap)."""
+    lm_df = nlm.train_ngram_lm(corpus_df)
+    plan = (
+        nlm.score_perplexity(corpus_df, lm_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # position explode lines: requiredChildOutput is [_id#...] — the
+    # training-side explodes (counts) retain nothing ("false, [_g#...]")
+    gen_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Generate explode" in ln and ", [_id" in ln
+    ]
+    assert gen_lines, plan
+    for ln in gen_lines:
+        # requiredChildOutput (the [...] after the generator expression)
+        # must not retain _t
+        assert "_t" not in ln.split(", [_id", 1)[1], ln
