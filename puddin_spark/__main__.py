@@ -476,6 +476,113 @@ def cmd_stream(args) -> int:
     return 0 if drained else 3
 
 
+def cmd_train_lm(args) -> int:
+    """Distributed KenLM-style LM training (operators/ngram_lm.py): build
+    the (order, gram, logp_fp) conditional-log-prob table over a corpus —
+    the KEPT documents of this dest's verdict store by default, or any
+    -i input with a text column — and persist it as parquet at
+    <dest>/ngram_lm. Training is pure DataFrame work (one corpus scan,
+    partial-aggregated counts, prefix self-joins); the persisted table is
+    the production LM artifact score-ppl (and any external job) joins
+    against, so the corpus is never re-scanned at scoring time."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.operators.ngram_lm import train_ngram_lm
+    from puddin_spark.session import get_spark
+    from puddin_spark.snapshots import SnapshotStore
+
+    spark = get_spark(master=args.master, app_name="puddin_spark.train_lm")
+    if args.input:
+        docs = _pages(spark, args.input, args.subset).select("text")
+    else:
+        store = SnapshotStore(f"{args.dest}/verdicts")
+        v = store.read(spark)
+        if v is None:
+            print(json.dumps({"error": "no verdict store at dest; pass -i"}))
+            spark.stop()
+            return 2
+        docs = v.filter("keep").select(F.col("clean_text").alias("text"))
+    lm = train_ngram_lm(
+        docs, n=args.lm_order, min_count=args.min_count, materialize=True
+    )
+    out_dir = f"{args.dest}/ngram_lm"
+    lm.repartition(args.partitions, "gram").write.mode("overwrite").parquet(
+        out_dir
+    )
+    per_order = {
+        str(r["order"]): r["n"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("order")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(json.dumps({"lm_dir": out_dir, "rows_per_order": per_order}))
+    spark.stop()
+    return 0
+
+
+def cmd_score_ppl(args) -> int:
+    """Score per-document stupid-backoff perplexity against the persisted
+    LM table (train-lm): three backoff hash joins, no model object on any
+    worker. Scores the dest store's kept documents by default (CCNet-style
+    quality tiering over the cleaned corpus) or any -i input; writes
+    (id, n_tokens, ppl) to <dest>/ppl and prints summary stats."""
+    from pyspark.sql import functions as F
+
+    from puddin_spark.operators.ngram_lm import score_perplexity
+    from puddin_spark.session import get_spark
+    from puddin_spark.snapshots import SnapshotStore
+
+    spark = get_spark(master=args.master, app_name="puddin_spark.score_ppl")
+    lm_dir = f"{args.dest}/ngram_lm"
+    if not Path(lm_dir).exists():
+        print(json.dumps({"error": f"no LM at {lm_dir}; run train-lm first"}))
+        spark.stop()
+        return 2
+    lm = spark.read.parquet(lm_dir)
+    if args.input:
+        docs = _pages(spark, args.input, args.subset)
+    else:
+        store = SnapshotStore(f"{args.dest}/verdicts")
+        v = store.read(spark)
+        if v is None:
+            print(json.dumps({"error": "no verdict store at dest; pass -i"}))
+            spark.stop()
+            return 2
+        docs = v.filter("keep").withColumn(
+            "text", F.col("clean_text")
+        )
+    id_col = "url" if "url" in docs.columns else "doc_id"
+    scored = score_perplexity(
+        docs, lm, id_col=id_col, broadcast_lm=not args.no_broadcast_lm
+    )
+    out_dir = f"{args.dest}/ppl"
+    scored.write.mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    row = back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("ppl").alias("n_scored"),
+        F.round(F.avg("ppl"), 4).alias("mean_ppl"),
+        F.round(F.min("ppl"), 4).alias("min_ppl"),
+        F.round(F.max("ppl"), 4).alias("max_ppl"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "ppl_dir": out_dir,
+                "id_col": id_col,
+                "n_docs": row.n_docs,
+                "n_scored": row.n_scored,
+                "mean_ppl": row.mean_ppl,
+                "min_ppl": row.min_ppl,
+                "max_ppl": row.max_ppl,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="puddin_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -487,6 +594,8 @@ def main(argv: list[str] | None = None) -> int:
         ("overview", cmd_overview),
         ("compact", cmd_compact),
         ("export", cmd_export),
+        ("train-lm", cmd_train_lm),
+        ("score-ppl", cmd_score_ppl),
     ]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
@@ -496,6 +605,31 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--subset", default="Pile-CC")
         if name in ("run", "validate", "stream"):
             sp.add_argument("-i", "--input", required=True)
+        if name in ("train-lm", "score-ppl"):
+            sp.add_argument(
+                "-i", "--input", default=None,
+                help="corpus with a text column (jsonl/warc/parquet);"
+                " default: this dest's kept, cleaned documents",
+            )
+        if name == "train-lm":
+            sp.add_argument(
+                "--lm-order", type=int, default=3, dest="lm_order",
+                help="max n-gram order of the trained LM",
+            )
+            sp.add_argument(
+                "--min-count", type=int, default=1, dest="min_count",
+                help="prune n-grams (orders >= 2) below this count —"
+                " bounds the LM table at corpus scale; unigrams always"
+                " survive so OOV backoff terminates at a real count",
+            )
+        if name == "score-ppl":
+            sp.add_argument(
+                "--no-broadcast-lm", action="store_true",
+                dest="no_broadcast_lm",
+                help="shuffle-join against the LM instead of broadcasting"
+                " it (use when a lightly-pruned LM exceeds executor"
+                " broadcast memory)",
+            )
         if name == "stream":
             sp.add_argument(
                 "--checkpoint",

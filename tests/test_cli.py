@@ -340,3 +340,38 @@ def test_cli_export_dup_weights(tmp_path, spark):
             else by_url.get(r.url + "-t")
         )
         assert mate is not None and mate.weight_q == r.weight_q
+
+
+def test_cli_train_lm_and_score_ppl(tmp_path):
+    """train-lm persists the KenLM-format table from the store's kept
+    corpus; score-ppl joins the cleaned docs against it. In-domain
+    (trained-on) text must score far below the OOV floor (1e7)."""
+    dest = str(tmp_path / "out")
+    code, out = _run(
+        ["run", "-i", JSONL, "-d", dest, "--partitions", "2", "--master", "local[4]"]
+    )
+    assert code == 0 and out["total_keep"] == 8
+
+    code, lm = _run(
+        ["train-lm", "-d", dest, "--partitions", "2", "--master", "local[4]"]
+    )
+    assert code == 0, lm
+    rpo = lm["rows_per_order"]
+    # unigrams < bigrams < trigrams on natural text
+    assert int(rpo["1"]) < int(rpo["2"]) < int(rpo["3"])
+
+    code, sc = _run(
+        ["score-ppl", "-d", dest, "--partitions", "2", "--master", "local[4]"]
+    )
+    assert code == 0, sc
+    assert sc["n_docs"] == 8 and sc["n_scored"] == 8 and sc["id_col"] == "url"
+    # self-perplexity of the training corpus: every position backs off to
+    # at worst a real unigram, so even the max sits far below the OOV floor
+    assert 1.0 < sc["min_ppl"] <= sc["mean_ppl"] <= sc["max_ppl"] < 1e6
+
+
+def test_cli_score_ppl_requires_lm(tmp_path):
+    code, out = _run(
+        ["score-ppl", "-d", str(tmp_path / "none"), "--master", "local[4]"]
+    )
+    assert code == 2 and "error" in out
