@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     # prefix-sum shard layout (the heaviest of the new split/export ops)
     "c4_rules",
     "shard_shuffle",
+    # r5 session-5: distributed KenLM train + backoff-join scoring
+    # end-to-end (the whole LM lifecycle in one measured plan)
+    "ngram_perplexity",
 ]
 
 

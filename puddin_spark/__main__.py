@@ -353,6 +353,26 @@ def cmd_export(args) -> int:
             scored, args.importance_budget, salt=args.salt + ":imp"
         )
         docs = docs.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
+    if args.ppl_max is not None:
+        # CCNet-style quality selection: keep only docs the corpus LM
+        # scored at or below the threshold (train-lm + score-ppl wrote
+        # the artifact; unscored docs — added after score-ppl ran — are
+        # excluded loudly in the summary rather than silently kept)
+        ppl_dir = f"{args.dest}/ppl"
+        if not Path(ppl_dir).exists():
+            print(json.dumps({
+                "ok": False,
+                "error": f"--ppl-max needs {ppl_dir}; run train-lm then"
+                " score-ppl first",
+            }))
+            spark.stop()
+            return 2
+        ppl = spark.read.parquet(ppl_dir)
+        key = ppl.columns[0]  # score-ppl's id_col: url or doc_id
+        kept = ppl.filter(
+            F.col("ppl").isNotNull() & (F.col("ppl") <= args.ppl_max)
+        ).select(key)
+        docs = docs.join(kept, key, "left_semi")
     if args.budget:
         docs = token_budget_sample(docs, args.budget, "n_tokens", salt=args.salt)
     if args.dup_weights:
@@ -426,6 +446,8 @@ def cmd_export(args) -> int:
         summary["seq_len"] = args.seq_len
     if args.importance_budget:
         summary["importance_budget"] = args.importance_budget
+    if args.ppl_max is not None:
+        summary["ppl_max"] = args.ppl_max
     print(json.dumps(summary))
     spark.stop()
     return 0
@@ -716,6 +738,16 @@ def main(argv: list[str] | None = None) -> int:
                 help="keep only the highest-DSIR-importance docs fitting"
                 " this token budget (requires --importance-target);"
                 " applied before --budget/splitting",
+            )
+            sp.add_argument(
+                "--ppl-max",
+                type=float,
+                default=None,
+                dest="ppl_max",
+                help="CCNet-style selection: keep only docs whose"
+                " score-ppl perplexity (<dest>/ppl from train-lm +"
+                " score-ppl) is <= this threshold; applied before"
+                " --budget/splitting",
             )
             sp.add_argument(
                 "--dup-weights",

@@ -369,6 +369,21 @@ def test_cli_train_lm_and_score_ppl(tmp_path):
     # at worst a real unigram, so even the max sits far below the OOV floor
     assert 1.0 < sc["min_ppl"] <= sc["mean_ppl"] <= sc["max_ppl"] < 1e6
 
+    # CCNet-style export selection: threshold at the mean keeps a strict,
+    # ppl-artifact-consistent subset
+    import duckdb
+
+    n_under = duckdb.sql(
+        f"select count(*) from '{dest}/ppl/*.parquet' where ppl <= {sc['mean_ppl']}"
+    ).fetchone()[0]
+    assert 0 < n_under < 8
+    code, ex = _run(
+        ["export", "-d", dest, "--master", "local[4]", "--partitions", "2",
+         "--splits", "train=1.0", "--ppl-max", str(sc["mean_ppl"])]
+    )
+    assert code == 0 and ex["ok"], ex
+    assert ex["splits"]["train"]["docs"] == n_under and ex["ppl_max"] == sc["mean_ppl"]
+
 
 def test_cli_score_ppl_requires_lm(tmp_path):
     code, out = _run(
