@@ -60,6 +60,13 @@ def cmd_run(args) -> int:
             eval_docs = spark.read.option("header", True).csv(args.decontaminate)
         else:
             eval_docs = spark.read.parquet(args.decontaminate)
+    ppl_lm = None
+    if args.ppl_lm:
+        if args.ppl_gate_max is None:
+            print(json.dumps({"error": "--ppl-lm requires --ppl-gate-max"}))
+            spark.stop()
+            return 2
+        ppl_lm = spark.read.parquet(args.ppl_lm)
     snap_id, n_new = run_resumable_pipeline(
         spark, pages, store, num_partitions=args.partitions,
         near_dedup=args.near_dedup,
@@ -75,6 +82,8 @@ def cmd_run(args) -> int:
         decontaminate_against=eval_docs,
         decontaminate_ngram=args.decontaminate_ngram,
         span_window=args.dedup_spans,
+        ppl_lm=ppl_lm,
+        ppl_max=args.ppl_gate_max or 0.0,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
     )
     out = {"snapshot_id": snap_id, "new_docs": n_new}
@@ -465,6 +474,9 @@ def cmd_stream(args) -> int:
     from puddin_spark.snapshots import SnapshotStore
     from puddin_spark.streaming import run_streaming_pipeline
 
+    if args.ppl_lm and args.ppl_gate_max is None:
+        print(json.dumps({"error": "--ppl-lm requires --ppl-gate-max"}))
+        return 2
     spark = get_spark(master=args.master, app_name="puddin_spark.stream")
     store = SnapshotStore(f"{args.dest}/verdicts")
     q = run_streaming_pipeline(
@@ -482,6 +494,8 @@ def cmd_stream(args) -> int:
         gopher=args.gopher,
         gopher_min_words=args.gopher_min_words,
         c4=args.c4,
+        ppl_lm_path=args.ppl_lm,
+        ppl_max=args.ppl_gate_max or 0.0,
     )
     drained = q.awaitTermination(args.stream_timeout)
     if not drained:
@@ -829,6 +843,22 @@ def main(argv: list[str] | None = None) -> int:
                 default=50,
                 dest="gopher_min_words",
                 help="lower word-count bound for --gopher",
+            )
+            sp.add_argument(
+                "--ppl-lm",
+                default=None,
+                dest="ppl_lm",
+                help="persisted KenLM-format LM parquet dir (train-lm on a"
+                " TARGET-domain corpus); kept docs scoring above"
+                " --ppl-gate-max flip to excl_type='ppl' at ingest (the"
+                " CCNet configuration)",
+            )
+            sp.add_argument(
+                "--ppl-gate-max",
+                type=float,
+                default=None,
+                dest="ppl_gate_max",
+                help="perplexity threshold for --ppl-lm",
             )
         if name == "run":
             sp.add_argument(

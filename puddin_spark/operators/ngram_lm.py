@@ -293,3 +293,52 @@ def score_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def apply_ppl_gate(
+    verdicts: DataFrame,
+    lm: DataFrame,
+    max_ppl: float,
+    text_col: str = "clean_text",
+    id_col: str = "url",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity filter composing AFTER the rule battery
+    (the apply_toxicity_gate / apply_gopher_gate contract): kept docs the
+    LM scores ABOVE max_ppl flip to keep=false with excl_type='ppl'
+    (clean_text nulled). `lm` is the persisted KenLM-format table (CCNet
+    configuration: trained once on a TARGET-domain corpus via train-lm,
+    then every ingest batch is scored against it); only kept docs are
+    scored, and docs scoring NULL (zero tokens) pass through — emptiness
+    is the rule battery's verdict to make, not the LM's. The flip rides a
+    left join on id_col (scoring reorders rows); the three LM probes are
+    broadcast by default."""
+    flips = (
+        score_perplexity(
+            verdicts.filter("keep").select(id_col, text_col),
+            lm,
+            text_col=text_col,
+            id_col=id_col,
+            broadcast_lm=broadcast_lm,
+        )
+        .filter(F.col("ppl") > max_ppl)
+        .select(id_col, F.lit(True).alias("_ppl_flip"))
+    )
+    keep_cols = verdicts.columns
+    out = (
+        verdicts.join(flips, id_col, "left")
+        .withColumn(
+            "_f", F.coalesce(F.col("_ppl_flip"), F.lit(False)) & F.col("keep")
+        )
+        .select(
+            *[c for c in keep_cols if c not in ("keep", "excl_type", text_col)],
+            F.when(F.col("_f"), F.lit(None).cast("string"))
+            .otherwise(F.col(text_col))
+            .alias(text_col),
+            (F.col("keep") & ~F.col("_f")).alias("keep"),
+            F.when(F.col("_f"), F.lit("ppl"))
+            .otherwise(F.col("excl_type"))
+            .alias("excl_type"),
+        )
+    )
+    return out.select(*keep_cols)

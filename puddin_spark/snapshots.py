@@ -569,6 +569,8 @@ def run_resumable_pipeline(
     decontaminate_ngram: int = 13,
     span_window: int = 0,
     span_max_flagged: int = 0,
+    ppl_lm: DataFrame | None = None,
+    ppl_max: float = 0.0,
     partition_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """One resumable pipeline run: process only not-yet-committed urls,
@@ -730,6 +732,15 @@ def run_resumable_pipeline(
         from puddin_spark.operators.textstats import apply_c4_gate
 
         verdicts = apply_c4_gate(verdicts)
+    if ppl_lm is not None:
+        # CCNet-style quality flip against a PERSISTED target-domain LM
+        # (train-lm once on e.g. a Wikipedia sample, score every ingest
+        # batch): after the codegen gates, before decontaminate/span/
+        # near-dedup — its three broadcast probes are cheaper than the
+        # ngram-explode join stages it shrinks
+        from puddin_spark.operators.ngram_lm import apply_ppl_gate
+
+        verdicts = apply_ppl_gate(verdicts, ppl_lm, max_ppl=ppl_max)
     if decontaminate_against is not None:
         # train/test-leakage flip BEFORE the near-dedup passes: fewer kept
         # docs reach the (costlier) encoding/shingling stages, and a doc

@@ -48,6 +48,8 @@ def run_streaming_pipeline(
     gopher: bool = False,
     gopher_min_words: int = 50,
     c4: bool = False,
+    ppl_lm_path: str | None = None,
+    ppl_max: float = 0.0,
 ):
     """Continuous ingestion: each micro-batch runs the batch pipeline body
     and commits atomically. Returns the StreamingQuery (caller awaits).
@@ -57,9 +59,13 @@ def run_streaming_pipeline(
     SRP index sidecar (see run_resumable_pipeline for both).
     srp_planes/srp_bands thread through to the sidecar's persisted
     _meta.json exactly as in the batch path — without them the FIRST
-    micro-batch would silently pin the defaults for the store's lifetime."""
+    micro-batch would silently pin the defaults for the store's lifetime.
+    ppl_lm_path is the persisted KenLM-format LM parquet dir (a PATH, not
+    a DataFrame: each micro-batch re-reads it, so the file listing is
+    fresh and retraining the LM mid-stream takes effect next batch)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ppl_lm = spark.read.parquet(ppl_lm_path) if ppl_lm_path else None
         run_resumable_pipeline(
             spark, batch_df, store, num_partitions=num_partitions,
             near_dedup=near_dedup,
@@ -71,6 +77,8 @@ def run_streaming_pipeline(
             gopher=gopher,
             gopher_min_words=gopher_min_words,
             c4=c4,
+            ppl_lm=ppl_lm,
+            ppl_max=ppl_max,
         )
 
     writer = (

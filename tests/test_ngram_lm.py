@@ -200,3 +200,76 @@ def test_exploded_rows_do_not_carry_token_arrays(spark, corpus_df):
         # requiredChildOutput (the [...] after the generator expression)
         # must not retain _t
         assert "_t" not in ln.split(", [_id", 1)[1], ln
+
+
+def test_apply_ppl_gate_in_pipeline(spark, tmp_path):
+    """run_resumable_pipeline(ppl_lm=, ppl_max=): the CCNet configuration —
+    an LM trained on the in-domain kept corpus flips OOV-gibberish kept
+    docs to excl_type='ppl' at ingest, leaves in-domain verdicts
+    untouched, keeps the completeness invariant, and resumes as a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from puddin_spark.snapshots import SnapshotStore, run_resumable_pipeline
+    from puddin_spark.synth import SPARK_SCHEMA_DDL, synth_pages_local
+
+    pages = synth_pages_local(spark, 40).cache()
+    probe = SnapshotStore(tmp_path / "probe")
+    run_resumable_pipeline(spark, pages, probe, num_partitions=2)
+    baseline = probe.read(spark)
+    lm = nlm.train_ngram_lm(
+        baseline.filter("keep").select(F.col("clean_text").alias("text")),
+        materialize=True,
+    )
+
+    # gibberish pages: clean alphabetic words (the rule battery keeps
+    # them) that are OOV to the LM (every position hits the 1e7 floor)
+    gib = spark.createDataFrame(
+        [
+            (
+                f"https://synth.example.org/gib/{i}",
+                dt.datetime(2024, 1, 1),
+                b"",
+                # distinct per doc (identical bodies would fall to the
+                # exact-dedup keep-first stage first) and pure-alpha
+                # (a digit would trip the a0wrd rule before the ppl gate)
+                ["oddish", "quibbly", "verplank"][i]
+                + " zonk blip fargle wibble quorp snarfle dingle womble" * 6,
+                "en",
+            )
+            for i in range(3)
+        ],
+        SPARK_SCHEMA_DDL,
+    )
+    store = SnapshotStore(tmp_path / "v")
+    run_resumable_pipeline(
+        spark,
+        pages.unionByName(gib),
+        store,
+        num_partitions=2,
+        ppl_lm=lm,
+        ppl_max=1e5,
+    )
+    v = store.read(spark)
+    flipped = v.filter("excl_type = 'ppl'")
+    assert {r.url for r in flipped.collect()} == {
+        f"https://synth.example.org/gib/{i}" for i in range(3)
+    }
+    assert flipped.filter("keep or clean_text is not null").count() == 0
+    # in-domain verdicts identical to the ungated run
+    base = {r.url: (r.keep, r.excl_type) for r in baseline.collect()}
+    got = {
+        r.url: (r.keep, r.excl_type)
+        for r in v.collect()
+        if not r.url.startswith("https://synth.example.org/gib/")
+    }
+    assert got == base
+    # completeness: every page has exactly one verdict
+    assert v.count() == baseline.count() + 3
+    # rerun: resume no-op (the gate does not disturb the committed sets)
+    snap2, n2 = run_resumable_pipeline(
+        spark, pages.unionByName(gib), store, num_partitions=2,
+        ppl_lm=lm, ppl_max=1e5,
+    )
+    assert (snap2, n2) == (-1, 0)

@@ -277,3 +277,63 @@ def test_streaming_embedding_near_dedup(spark, tmp_path):
         F.col("url") == "https://twin.example/es"
     ).collect()[0]
     assert row.keep is False and row.excl_type == "emb_near_dup"
+
+
+def test_streaming_ppl_gate(spark, tmp_path):
+    """ppl_lm_path threads the CCNet perplexity gate into the streaming
+    path: a drop containing OOV gibberish commits it as excl_type='ppl'
+    while in-domain docs keep their plain-run verdicts."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from puddin_spark.operators.ngram_lm import train_ngram_lm
+    from puddin_spark.snapshots import run_resumable_pipeline
+    from puddin_spark.synth import synth_pages_local
+
+    # target-domain LM from an ungated batch run's kept corpus
+    pages = synth_pages_local(spark, 40).cache()
+    probe = SnapshotStore(tmp_path / "probe")
+    run_resumable_pipeline(spark, pages, probe, num_partitions=2)
+    lm_dir = str(tmp_path / "lm")
+    train_ngram_lm(
+        probe.read(spark).filter("keep").select(F.col("clean_text").alias("text")),
+        materialize=True,
+    ).write.parquet(lm_dir)
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    gib = spark.createDataFrame(
+        [
+            (
+                "https://synth.example.org/gib/0",
+                dt.datetime(2024, 1, 1),
+                b"",
+                "zonk blip fargle wibble quorp snarfle dingle womble " * 6,
+                "en",
+            )
+        ],
+        SPARK_SCHEMA_DDL,
+    )
+    pages.unionByName(gib).coalesce(1).write.mode("append").parquet(str(d))
+
+    store = SnapshotStore(tmp_path / "store")
+    q = run_streaming_pipeline(
+        spark, str(d), store, str(tmp_path / "ckpt"), num_partitions=2,
+        ppl_lm_path=lm_dir, ppl_max=1e5,
+    )
+    q.awaitTermination(300)
+    v = store.read(spark)
+    assert v.filter("excl_type = 'ppl'").count() == 1
+    assert (
+        v.filter("url = 'https://synth.example.org/gib/0'").first().excl_type
+        == "ppl"
+    )
+    # in-domain verdicts match the ungated probe run
+    base = {r.url: (r.keep, r.excl_type) for r in probe.read(spark).collect()}
+    got = {
+        r.url: (r.keep, r.excl_type)
+        for r in v.collect()
+        if "/gib/" not in r.url
+    }
+    assert got == base
