@@ -204,7 +204,15 @@ def score_perplexity(
     available order with a constant ln(alpha) fixed-point penalty per
     step down. Integer-sum then one exp at the end.
 
-    Documents with zero tokens return ppl = NULL (n_tokens = 0).
+    Documents with zero tokens return ppl = NULL (n_tokens = 0) via a
+    SENTINEL position row (w = null), not a join-back: n_tokens falls
+    out of the group's non-null-w count, so the whole result is ONE
+    shuffle (the per-doc aggregation, mostly collapsed map-side because
+    a doc's positions are generated within one partition) — the
+    join-back alternative adds a second corpus-wide shuffle + sort that
+    exists only to re-attach rows the aggregation already saw.
+    Consequence: ids must be unique per input row (they are everywhere
+    this engine scores: url / doc_id).
 
     checkpoint_lm=True localCheckpoints the LM before the three probes —
     required when `lm` is an in-plan derivation (each probe would
@@ -217,21 +225,21 @@ def score_perplexity(
         lm = lm.localCheckpoint(eager=True)
     la = F.lit(log_alpha_fp(alpha))
     base = docs.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t"))
-    pos = (
-        base.filter(F.size("_t") > 0)
-        .select(
-            "_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(_t)), i -> struct("
-                    "  _t[i-1] as w,"
-                    "  if(i >= 2, _t[i-2], null) as h1,"
-                    "  if(i >= 3, _t[i-3], null) as h2))"
-                )
-            ).alias("_p"),
-        )
-        .select("_id", "_p.w", "_p.h1", "_p.h2")
-    )
+    pos = base.select(
+        "_id",
+        F.explode(
+            F.expr(
+                "if(size(_t) = 0,"
+                " array(struct(cast(null as string) as w,"
+                "              cast(null as string) as h1,"
+                "              cast(null as string) as h2)),"
+                " transform(sequence(1, size(_t)), i -> struct("
+                "   _t[i-1] as w,"
+                "   if(i >= 2, _t[i-2], null) as h1,"
+                "   if(i >= 3, _t[i-3], null) as h2)))"
+            )
+        ).alias("_p"),
+    ).select("_id", "_p.w", "_p.h1", "_p.h2")
     lm = lm.select("order", "gram", "logp_fp")
     if broadcast_lm:
         lm = F.broadcast(lm)
@@ -262,7 +270,9 @@ def score_perplexity(
         .join(l1, "_k1", "left")
         .withColumn(
             "_lp",
-            F.when(F.col("_lp3").isNotNull(), F.col("_lp3"))
+            # sentinel (empty doc) rows score null and drop out of the sum
+            F.when(F.col("w").isNull(), F.lit(None).cast("bigint"))
+            .when(F.col("_lp3").isNotNull(), F.col("_lp3"))
             .when(
                 F.col("_lp2").isNotNull(),
                 F.col("_lp2")
@@ -279,17 +289,18 @@ def score_perplexity(
             .otherwise(F.lit(floor_fp())),
         )
     )
-    agg = scored.groupBy("_id").agg(
-        F.sum("_lp").alias("_s"), F.count(F.lit(1)).alias("_c")
-    )
     return (
-        base.select("_id", F.size("_t").alias("n_tokens"))
-        .join(agg, "_id", "left")
+        scored.groupBy("_id")
+        .agg(F.sum("_lp").alias("_s"), F.count("w").alias("_c"))
         .select(
             F.col("_id").alias(id_col),
-            F.col("n_tokens").cast("int").alias("n_tokens"),
-            F.round(
-                F.exp(-(F.col("_s") / F.lit(float(FP_SCALE))) / F.col("_c")), 4
+            F.col("_c").cast("int").alias("n_tokens"),
+            F.when(
+                F.col("_c") > 0,
+                F.round(
+                    F.exp(-(F.col("_s") / F.lit(float(FP_SCALE))) / F.col("_c")),
+                    4,
+                ),
             ).alias("ppl"),
         )
     )

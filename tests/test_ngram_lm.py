@@ -273,3 +273,29 @@ def test_apply_ppl_gate_in_pipeline(spark, tmp_path):
         ppl_lm=lm, ppl_max=1e5,
     )
     assert (snap2, n2) == (-1, 0)
+
+
+def test_scoring_plan_single_shuffle_no_join_back(spark, corpus_df):
+    """Scoring with a broadcast LM is THREE BroadcastHashJoin probes plus
+    exactly ONE shuffle (the per-doc aggregation): the zero-token docs
+    ride a sentinel position row, so there is no corpus-wide join-back
+    (no SortMergeJoin / ShuffledHashJoin anywhere)."""
+    lm_df = nlm.train_ngram_lm(corpus_df, materialize=True)
+    plan = (
+        # checkpoint_lm: the production shape is an LM read from storage —
+        # without it the plan string also contains the TRAINING subtree
+        # (whose prefix self-join is a legitimate SortMergeJoin)
+        nlm.score_perplexity(
+            corpus_df, lm_df, broadcast_lm=True, checkpoint_lm=True
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(shuffles) == 1, plan
