@@ -2958,8 +2958,13 @@ SPARK_QUERIES = {
     "html_extract": q_html_extract,
     "url_canonicalize": q_url_canonicalize,
     "domain_blocklist": q_domain_blocklist,
-    "quality_gate": q_quality_gate,
-    "langid_heuristic": q_langid_heuristic,
+    # r5 session-5 rotation: the distributed KenLM gates take the driver
+    # slots of two r4-verified flip/replica gates whose operators stay
+    # driver-green via siblings (quality_gate <- quality_scores;
+    # langid_heuristic <- langid_gate + model_langid); both rotate to
+    # LOCAL_QUERIES and stay bit-exact in the local replay
+    "ngram_lm_table": q_ngram_lm_table,
+    "ngram_perplexity": q_ngram_perplexity,
     "multimodal_meta": q_multimodal_meta,
     "pii_scrub": q_pii_scrub,
     "model_langid": q_model_langid,
@@ -3008,11 +3013,12 @@ LOCAL_QUERIES = {
     "importance_select": q_importance_select,
     "dup_weights": q_dup_weights,
     "mojibake_fix": q_mojibake_fix,
-    # r5 session-5: distributed KenLM-style n-gram LM — training as
-    # aggregation + prefix self-join, scoring as three backoff hash joins
-    # (rotate into the driver 50 in r6)
-    "ngram_lm_table": q_ngram_lm_table,
-    "ngram_perplexity": q_ngram_perplexity,
+    # r5 session-5 rotation out of the driver 50 (swapped for the two
+    # distributed-KenLM gates): operators stay driver-exercised via
+    # quality_scores and langid_gate/model_langid; both replay bit-exact
+    # locally at sf0.01 + sf0.1
+    "quality_gate": q_quality_gate,
+    "langid_heuristic": q_langid_heuristic,
 }
 
 # Union for local replay + bench lookups.
