@@ -8,6 +8,10 @@
       the completeness checker (confirm_doc_ids.py §3.2)
   python -m puddin_spark stats    -d <dest>
       corpus statistics rollup (statify_puddin.py §3.3)
+  python -m puddin_spark train-lm -d <dest> [-i <corpus>]
+      persist the distributed KenLM-format n-gram LM (operators/ngram_lm)
+  python -m puddin_spark score-ppl -d <dest> [-i <corpus>]
+      attach stupid-backoff perplexity to the kept corpus (or -i input)
 
 Designed for spark-submit too:  spark-submit --py-files puddin_spark.zip
 <this file> run -i ... -d ...  (the session builder only applies defaults
