@@ -195,14 +195,17 @@ def score_perplexity(
     under the LM table, entirely via joins — no per-row Python, no model
     object on any worker.
 
-    Each token position becomes one small row (pos, w, h1, h2) built by a
+    Each token position becomes one small row (w, h1..h(n-1)) built by a
     transform-over-indices BEFORE the explode, so exploded rows never
     carry the document's token array (the naive posexplode-then-index
     plan copies the whole array into every position row — O(len^2) bytes
-    per giant doc, exactly the skew the north-star calls out). Three
-    left joins fetch log p at each order; backoff picks the highest
-    available order with a constant ln(alpha) fixed-point penalty per
-    step down. Integer-sum then one exp at the end.
+    per giant doc, exactly the skew the north-star calls out). One left
+    join per order fetches log p; backoff picks the highest matched
+    order m with penalty (start - m) * ln(alpha) in fixed point, where
+    start = orders available at the position (1 + non-null histories).
+    Integer-sum then one exp at the end. Any order n >= 1 works (CCNet's
+    production configuration is a 5-gram KenLM); the LM must have been
+    trained with at least that order.
 
     Documents with zero tokens return ppl = NULL (n_tokens = 0) via a
     SENTINEL position row (w = null), not a join-back: n_tokens falls
@@ -219,76 +222,63 @@ def score_perplexity(
     otherwise re-run LM training); unnecessary when `lm` was read from
     storage, the production shape.
     """
-    if n != 3:
-        raise ValueError("score_perplexity: only n=3 (trigram) is wired")
+    if n < 1:
+        raise ValueError(f"score_perplexity: n must be >= 1, got {n}")
     if checkpoint_lm:
         lm = lm.localCheckpoint(eager=True)
     la = F.lit(log_alpha_fp(alpha))
+    hists = [f"h{j}" for j in range(1, n)]  # h1 = previous word, ...
+    struct_fields = ["_t[i-1] as w"] + [
+        f"if(i >= {j + 1}, _t[i-{j + 1}], null) as h{j}" for j in range(1, n)
+    ]
+    sentinel_fields = ["cast(null as string) as w"] + [
+        f"cast(null as string) as h{j}" for j in range(1, n)
+    ]
     base = docs.select(F.col(id_col).alias("_id"), tokens_col(text_col).alias("_t"))
     pos = base.select(
         "_id",
         F.explode(
             F.expr(
                 "if(size(_t) = 0,"
-                " array(struct(cast(null as string) as w,"
-                "              cast(null as string) as h1,"
-                "              cast(null as string) as h2)),"
+                f" array(struct({', '.join(sentinel_fields)})),"
                 " transform(sequence(1, size(_t)), i -> struct("
-                "   _t[i-1] as w,"
-                "   if(i >= 2, _t[i-2], null) as h1,"
-                "   if(i >= 3, _t[i-3], null) as h2)))"
+                f"  {', '.join(struct_fields)})))"
             )
         ).alias("_p"),
-    ).select("_id", "_p.w", "_p.h1", "_p.h2")
+    ).select("_id", "_p.w", *[f"_p.{h}" for h in hists])
     lm = lm.select("order", "gram", "logp_fp")
     if broadcast_lm:
         lm = F.broadcast(lm)
-    l3 = lm.filter(F.col("order") == 3).select(
-        F.col("gram").alias("_k3"), F.col("logp_fp").alias("_lp3")
-    )
-    l2 = lm.filter(F.col("order") == 2).select(
-        F.col("gram").alias("_k2"), F.col("logp_fp").alias("_lp2")
-    )
-    l1 = lm.filter(F.col("order") == 1).select(
-        F.col("gram").alias("_k1"), F.col("logp_fp").alias("_lp1")
-    )
-    scored = (
-        pos.withColumn(
-            "_k3",
+    scored = pos.withColumn("_k1", F.col("w"))
+    for m in range(2, n + 1):
+        # order-m key exists when the position has m-1 words of history
+        scored = scored.withColumn(
+            f"_k{m}",
             F.when(
-                F.col("h2").isNotNull(),
-                F.concat_ws(" ", "h2", "h1", "w"),
+                F.col(f"h{m - 1}").isNotNull(),
+                F.concat_ws(
+                    " ", *[f"h{j}" for j in range(m - 1, 0, -1)], "w"
+                ),
             ),
         )
-        .withColumn(
-            "_k2",
-            F.when(F.col("h1").isNotNull(), F.concat_ws(" ", "h1", "w")),
+    for m in range(n, 0, -1):
+        probe = lm.filter(F.col("order") == m).select(
+            F.col("gram").alias(f"_k{m}"), F.col("logp_fp").alias(f"_lp{m}")
         )
-        .withColumn("_k1", F.col("w"))
-        .join(l3, "_k3", "left")
-        .join(l2, "_k2", "left")
-        .join(l1, "_k1", "left")
-        .withColumn(
-            "_lp",
-            # sentinel (empty doc) rows score null and drop out of the sum
-            F.when(F.col("w").isNull(), F.lit(None).cast("bigint"))
-            .when(F.col("_lp3").isNotNull(), F.col("_lp3"))
-            .when(
-                F.col("_lp2").isNotNull(),
-                F.col("_lp2")
-                + F.when(F.col("h2").isNotNull(), la).otherwise(F.lit(0)),
-            )
-            .when(
-                F.col("_lp1").isNotNull(),
-                F.col("_lp1")
-                + F.when(F.col("h2").isNotNull(), F.lit(2))
-                .when(F.col("h1").isNotNull(), F.lit(1))
-                .otherwise(F.lit(0))
-                * la,
-            )
-            .otherwise(F.lit(floor_fp())),
+        scored = scored.join(probe, f"_k{m}", "left")
+    # start = highest order available at this position; backoff to matched
+    # order m costs (start - m) * ln(alpha) — a single formula (for the
+    # highest matched order the penalty is zero; keys above it are null)
+    start = F.lit(1)
+    for h in hists:
+        start = start + F.col(h).isNotNull().cast("int")
+    lp = F.when(F.col("w").isNull(), F.lit(None).cast("bigint"))
+    for m in range(n, 0, -1):
+        lp = lp.when(
+            F.col(f"_lp{m}").isNotNull(),
+            F.col(f"_lp{m}") + (start - F.lit(m)) * la,
         )
-    )
+    scored = scored.withColumn("_lp", lp.otherwise(F.lit(floor_fp())))
     return (
         scored.groupBy("_id")
         .agg(F.sum("_lp").alias("_s"), F.count("w").alias("_c"))

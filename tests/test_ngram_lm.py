@@ -43,27 +43,25 @@ def _py_lm(counts, n: int = 3):
     return lm
 
 
-def _py_ppl(text: str, lm, alpha: float = nlm.DEFAULT_ALPHA):
+def _py_ppl(text: str, lm, n: int = 3, alpha: float = nlm.DEFAULT_ALPHA):
+    """Stupid backoff from the highest order with available context:
+    matched order m costs lp(m) + (start - m) * ln(alpha); a fully-OOV
+    position takes the floor with no penalty."""
     la = int(round(math.log(alpha) * FP))
     fl = int(round(math.log(nlm.FLOOR_P) * FP))
     toks = [t for t in text.lower().split() if t]
     if not toks:
         return 0, None
     s = 0
-    for i, w in enumerate(toks):
-        h1 = toks[i - 1] if i >= 1 else None
-        h2 = toks[i - 2] if i >= 2 else None
-        lp3 = lm.get((3, f"{h2} {h1} {w}")) if h2 is not None else None
-        lp2 = lm.get((2, f"{h1} {w}")) if h1 is not None else None
-        lp1 = lm.get((1, w))
-        if lp3 is not None:
-            s += lp3
-        elif lp2 is not None:
-            s += lp2 + (la if h2 is not None else 0)
-        elif lp1 is not None:
-            s += lp1 + (2 if h2 is not None else 1 if h1 is not None else 0) * la
-        else:
-            s += fl
+    for i in range(len(toks)):
+        start = min(i, n - 1) + 1
+        got = None
+        for m in range(start, 0, -1):
+            v = lm.get((m, " ".join(toks[i - m + 1 : i + 1])))
+            if v is not None:
+                got = v + (start - m) * la
+                break
+        s += got if got is not None else fl
     return len(toks), round(math.exp(-(s / FP) / len(toks)), 4)
 
 
@@ -299,3 +297,33 @@ def test_scoring_plan_single_shuffle_no_join_back(spark, corpus_df):
         if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert len(shuffles) == 1, plan
+
+
+@pytest.mark.parametrize("order", [1, 2, 5])
+def test_scoring_generalizes_to_any_order(spark, corpus_df, order):
+    """score_perplexity at n=1 (pure unigram), n=2 (bigram) and n=5
+    (CCNet's production KenLM order) matches the sequential reference,
+    including on unseen text exercising deep backoff chains."""
+    lm_df = nlm.train_ngram_lm(corpus_df, n=order, materialize=True)
+    lm = _py_lm(_py_counts(CORPUS, n=order), n=order)
+    probe = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)]
+        + [(200, "the cat sat on the mat and the dog sat too"),
+           (201, "zyx the cat wvu"),
+           (202, "cat")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in nlm.score_perplexity(
+            probe, lm_df, n=order, broadcast_lm=True
+        ).collect()
+    }
+    texts = dict(
+        [(i, t) for i, t in enumerate(CORPUS)]
+        + [(200, "the cat sat on the mat and the dog sat too"),
+           (201, "zyx the cat wvu"),
+           (202, "cat")]
+    )
+    for did, text in texts.items():
+        assert got[did] == _py_ppl(text, lm, n=order), (order, did)
