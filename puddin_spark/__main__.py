@@ -593,8 +593,11 @@ def cmd_score_ppl(args) -> int:
             "text", F.col("clean_text")
         )
     id_col = "url" if "url" in docs.columns else "doc_id"
+    from puddin_spark.operators.ngram_lm import lm_order
+
     scored = score_perplexity(
-        docs, lm, id_col=id_col, broadcast_lm=not args.no_broadcast_lm
+        docs, lm, id_col=id_col, n=lm_order(lm),
+        broadcast_lm=not args.no_broadcast_lm,
     )
     out_dir = f"{args.dest}/ppl"
     scored.write.mode("overwrite").parquet(out_dir)

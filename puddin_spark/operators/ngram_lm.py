@@ -296,6 +296,13 @@ def score_perplexity(
     )
 
 
+def lm_order(lm: DataFrame) -> int:
+    """Highest order present in a KenLM-format table — the order a scorer
+    should run at unless told otherwise (one tiny aggregate; the LM is
+    vocab-scale, not corpus-scale)."""
+    return int(lm.agg(F.max("order")).first()[0])
+
+
 def apply_ppl_gate(
     verdicts: DataFrame,
     lm: DataFrame,
@@ -312,14 +319,16 @@ def apply_ppl_gate(
     then every ingest batch is scored against it); only kept docs are
     scored, and docs scoring NULL (zero tokens) pass through — emptiness
     is the rule battery's verdict to make, not the LM's. The flip rides a
-    left join on id_col (scoring reorders rows); the three LM probes are
-    broadcast by default."""
+    left join on id_col (scoring reorders rows); the per-order LM probes
+    are broadcast by default, and scoring runs at the TRAINED order
+    (lm_order) so a 5-gram artifact is consumed as a 5-gram model."""
     flips = (
         score_perplexity(
             verdicts.filter("keep").select(id_col, text_col),
             lm,
             text_col=text_col,
             id_col=id_col,
+            n=lm_order(lm),
             broadcast_lm=broadcast_lm,
         )
         .filter(F.col("ppl") > max_ppl)

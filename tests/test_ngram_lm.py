@@ -327,3 +327,29 @@ def test_scoring_generalizes_to_any_order(spark, corpus_df, order):
     )
     for did, text in texts.items():
         assert got[did] == _py_ppl(text, lm, n=order), (order, did)
+
+
+def test_apply_ppl_gate_runs_at_trained_order(spark, corpus_df):
+    """lm_order detects the artifact's order and the gate scores at it: a
+    5-gram-trained LM flips exactly the docs the n=5 sequential reference
+    says are above threshold."""
+    lm_df = nlm.train_ngram_lm(corpus_df, n=5, materialize=True)
+    assert nlm.lm_order(lm_df) == 5
+    verdicts = spark.createDataFrame(
+        [
+            ("u0", "the cat sat on the mat", True, None),
+            ("u1", "zyx wvu tsr qpo", True, None),  # OOV: floor, flips
+            ("u2", "dropped earlier", False, "punc"),  # not kept: untouched
+        ],
+        "url string, clean_text string, keep boolean, excl_type string",
+    )
+    out = {
+        r.url: (r.keep, r.excl_type)
+        for r in nlm.apply_ppl_gate(verdicts, lm_df, max_ppl=1e5).collect()
+    }
+    assert out["u0"] == (True, None)
+    assert out["u1"] == (False, "ppl")
+    assert out["u2"] == (False, "punc")
+    lm = _py_lm(_py_counts(CORPUS, n=5), n=5)
+    assert _py_ppl("the cat sat on the mat", lm, n=5)[1] < 1e5
+    assert _py_ppl("zyx wvu tsr qpo", lm, n=5)[1] > 1e5
