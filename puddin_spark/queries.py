@@ -1157,6 +1157,36 @@ from base b left join ag a using (doc_id)
 """
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer training, round-1 statistics (operators/bpe.py): the
+    corpus collapses to a (word, freq) table in one pass, then adjacent-
+    symbol pair weights are a vocab-scale aggregation — the shape every
+    merge round reuses. Pure codegen; the only corpus-scale shuffle is
+    the word count."""
+    from puddin_spark.operators import bpe
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe.bpe_pair_counts(d)
+
+
+O_BPE_PAIR_COUNTS = """
+with d as (select list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x <> '') as t
+           from documents),
+w as (select x as word, count(*) as freq
+      from (select unnest(t) as x from d) group by x),
+s as (select list_transform(range(1, length(word) + 1),
+             i -> case when i = length(word) then word[i] || '▁'
+                       else word[i] end) as syms,
+             freq
+      from w),
+p as (select syms[i] as a, syms[i + 1] as b, freq
+      from (select syms, freq, unnest(range(1, len(syms))) as i
+            from s where len(syms) >= 2))
+select a, b, cast(sum(freq) as bigint) as cnt from p group by a, b
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5")
@@ -3019,6 +3049,10 @@ LOCAL_QUERIES = {
     # locally at sf0.01 + sf0.1
     "quality_gate": q_quality_gate,
     "langid_heuristic": q_langid_heuristic,
+    # r5 session-5: BPE tokenizer training — the round-1 pair statistics
+    # (the aggregation every merge round reuses); the full merge loop and
+    # encoder are pinned vs a sequential reference in tests/test_bpe.py
+    "bpe_pair_counts": q_bpe_pair_counts,
 }
 
 # Union for local replay + bench lookups.
@@ -3088,6 +3122,7 @@ def oracle_queries() -> dict[str, str]:
         "mojibake_fix": _oracle_mojibake_fix(),
         "ngram_lm_table": O_NGRAM_LM_TABLE,
         "ngram_perplexity": _oracle_ngram_perplexity(),
+        "bpe_pair_counts": O_BPE_PAIR_COUNTS,
         "sentence_segment": O_SENTENCE_SEGMENT,
         "pii_scrub": O_PII_SCRUB,
         "sentence_stats_rollup": O_SENTENCE_STATS_ROLLUP,
