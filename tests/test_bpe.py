@@ -145,3 +145,15 @@ def test_merges_table_roundtrip(spark, docs, tmp_path):
         for r in spark.read.parquet(path).orderBy("rank").collect()
     ]
     assert back == merges
+
+
+def test_collected_path_equals_distributed(spark, docs):
+    """train_bpe_collected (the long-schedule fast path) produces the
+    identical merge list to the per-round-Spark loop."""
+    w = bpe.word_table(docs)
+    assert bpe.train_bpe_collected(w, 12) == bpe.train_bpe(w, 12)
+
+
+def test_collected_path_vocab_guard(spark, docs):
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe.train_bpe_collected(bpe.word_table(docs), 5, max_vocab_rows=3)
