@@ -65,8 +65,10 @@ BENCH_QUERIES = [
     "c4_rules",
     "shard_shuffle",
     # r5 session-5: distributed KenLM train + backoff-join scoring
-    # end-to-end (the whole LM lifecycle in one measured plan)
+    # end-to-end (the whole LM lifecycle in one measured plan), and the
+    # BPE round-1 statistics (the aggregation every merge round reuses)
     "ngram_perplexity",
+    "bpe_pair_counts",
 ]
 
 
