@@ -117,16 +117,36 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (id_a, id_b) pairs;
     shingle arrays rejoin here, AFTER candidate dedup, so the band join
-    never carries them. Preserves any extra columns on `cand`."""
+    never carries them. Preserves any extra columns on `cand`.
+
+    Plan shape (r6): candidates explode to one row per pair ENDPOINT and
+    join the shingle table ONCE, then regroup per pair. The previous
+    two-join form (cand x sh on id_a, then x sh on id_b) evaluated the
+    whole shingle subtree twice — Catalyst does not share identical
+    subtrees across joins — and reshuffled the full shingle table a second
+    time even when candidates are few. One join = one shingle evaluation
+    and only candidate-side rows in the regroup shuffle."""
     extra = [c for c in cand.columns if c not in ("id_a", "id_b")]
+    sides = cand.select(
+        "id_a",
+        "id_b",
+        *extra,
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id"), F.lit(0).alias("side")),
+                F.struct(F.col("id_b").alias("id"), F.lit(1).alias("side")),
+            )
+        ).alias("_e"),
+    ).select("id_a", "id_b", *extra, F.col("_e.id").alias("id"), F.col("_e.side").alias("side"))
+    joined = sides.join(sh_only.select("id", "sh"), "id")
+    # exactly one non-null per side per pair, so max() is a deterministic
+    # "the one value" pick (and keeps the aggregation partial-agg friendly)
+    paired = joined.groupBy("id_a", "id_b", *extra).agg(
+        F.max(F.when(F.col("side") == 0, F.col("sh"))).alias("sh_a"),
+        F.max(F.when(F.col("side") == 1, F.col("sh"))).alias("sh_b"),
+    )
     return (
-        cand.join(
-            sh_only.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-        )
-        .join(
-            sh_only.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
-        )
-        .withColumn(
+        paired.withColumn(
             "jaccard",
             F.round(
                 F.size(F.array_intersect("sh_a", "sh_b"))
@@ -196,12 +216,24 @@ def minhash_lsh_pairs(
         ).alias("band_ix", "band_key"),
     )
     bands = _cap_buckets(bands, max_bucket)
-    left = bands.select(F.col("id").alias("id_a"), "band_ix", "band_key")
-    right = bands.select(F.col("id").alias("id_b"), "band_ix", "band_key")
+    # bucket-collect pair generation (r6): ONE shuffle (the same groupBy key
+    # the old self-join needed) collects each bucket's member ids, and pairs
+    # stream out of a two-level explode. The band/signature subtree is
+    # evaluated ONCE — the self-join form evaluated it twice (Catalyst does
+    # not share identical subtrees across join sides) — and no join is
+    # planned at all. The inner `filter(ids, y -> y > id_a)` keeps the
+    # intermediate per row at O(bucket) not O(bucket^2); a degenerate hot
+    # bucket is still quadratic in emitted pairs, exactly as the join was
+    # (that is what max_bucket bounds).
     cand = (
-        left.join(right, ["band_ix", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bands.groupBy("band_ix", "band_key")
+        .agg(F.collect_list("id").alias("_ids"))
+        .where(F.size("_ids") > 1)
+        .select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+        .select(
+            "id_a",
+            F.explode(F.expr("filter(_ids, y -> y > id_a)")).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return _verify_jaccard(cand, sig.select("id", "sh"), jaccard_threshold)
@@ -303,6 +335,13 @@ def simhash_near_pairs(df: DataFrame, id_col="doc_id", text_col="text", max_hamm
             F.array(*[F.expr(f"(simhash >> {16 * i}) & 65535") for i in range(4)])
         ).alias("qix", "qval"),
     )
+    # NOTE (r6): the bucket-collect pair form used in minhash_lsh_pairs was
+    # tried here and measured 5x SLOWER (2.1 s -> 11 s at sf0.1): exact
+    # duplicate texts share a simhash, so quarter buckets are hot, and the
+    # per-member `filter(members, ...)` lambda is an interpreted O(m) scan —
+    # O(m^2) interpreted ops per hot bucket vs the hash join's codegen'd
+    # pair emission. The self-join stays; it is the right shape when buckets
+    # can be large.
     a = q.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "qix", "qval")
     b = q.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "qix", "qval")
     pairs = (
@@ -318,11 +357,19 @@ def simhash_near_pairs(df: DataFrame, id_col="doc_id", text_col="text", max_hamm
 
 
 def word_ngrams(text_col: str, n: int = 3):
-    """Distinct word n-grams as an array column (built-ins only)."""
+    """Distinct word n-grams as an array column (built-ins only).
+
+    The token array is let-bound via a 1-element `transform` wrapper: naively
+    inlining `split(...)` into the per-position lambda re-tokenizes the whole
+    document for EVERY gram position (O(len^2) — profiled as the dominant
+    cost of the minhash family at sf0.1), while binding it as the lambda
+    argument evaluates the split exactly once per document. Bit-identical
+    output, plan-level change only."""
     toks = f"split(trim({text_col}), '\\\\s+')"
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        f"flatten(transform(array({toks}), tk ->"
+        f" array_distinct(transform(sequence(1, greatest(size(tk) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(tk, i, {n}))))))"
     )
 
 
@@ -443,14 +490,17 @@ def repeated_spans(
     if hash_impl not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash_impl: {hash_impl}")
     toks = f"split(trim({text_col}), '\\\\s+')"
-    gram = f"concat_ws(' ', slice({toks}, i, {window}))"
+    gram = f"concat_ws(' ', slice(tk, i, {window}))"
     h = f"md5({gram})" if hash_impl == "md5" else f"xxhash64({gram})"
     spans = docs.where(F.expr(f"size({toks}) >= {window}")).select(
         F.col(id_col).alias("id"),
+        # the token array is let-bound (see word_ngrams): inlining the split
+        # into the per-position lambda re-tokenizes per span start, O(len^2)
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, size({toks}) - {window} + 1, {stride}),"
-                f" i -> {h})"
+                f"flatten(transform(array({toks}), tk ->"
+                f" transform(sequence(1, size(tk) - {window} + 1, {stride}),"
+                f" i -> {h})))"
             )
         ).alias("_p", "span_hash"),
     )
@@ -692,9 +742,20 @@ def resolve_duplicate_clusters(
     (ContextCleaner), or immediately via free_local_checkpoints(result)
     once the caller has materialized everything derived from it.
     """
+    # both edge directions via ONE explode over the pair rows: the union-of-
+    # two-selects form evaluated the whole upstream pair generation twice
+    # (union branches are separate subtrees even under persist(), which only
+    # caches the union's OUTPUT after both branches ran)
     edges = (
-        pairs.selectExpr("id_a as src", "id_b as dst")
-        .unionByName(pairs.selectExpr("id_b as src", "id_a as dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .persist()
     )
     # localCheckpoint (not just persist) each round: caching stores the DATA

@@ -130,24 +130,36 @@ def quality_pipeline(
         )
         blocked = F.coalesce(F.col("_blk"), F.lit(False))
     if dedup and num_partitions:
-        # ONE shuffle serves both needs: an explicit repartition on the text
-        # digest (a) satisfies the dedup window's required distribution, so
-        # the window adds no second exchange, and (b) is a uniform hash
-        # partitioning for the UDF stage (the north rule's explicit shuffle
-        # control; digest-hash is as uniform as url-hash and additionally
-        # co-locates duplicates). Being an explicit repartition, AQE will
-        # not coalesce it under the UDF.
-        key = F.sha2("text", 256)
-        df = df.repartition(num_partitions, key)
-        # unblocked rows sort first inside each duplicate group so a
-        # blocked copy never shadows an unblocked twin (see docstring)
+        # Decide with small rows, never move the big rows (optimization
+        # guide section 8): the keep-first decision depends only on
+        # (sha2(text), warc_ts, url) — ~100 bytes/doc — so the dedup window
+        # runs over that narrow projection (a second column-pruned scan of
+        # the source) and emits just the LOSER keys (duplicate copies to
+        # drop, typically a small fraction of the corpus). The document
+        # bodies are then never shuffled at all: losers broadcast into a
+        # left-anti join against the scan, and the UDF runs pre-shuffle on
+        # the byte-balanced scan partitions (which also cuts the Python
+        # task count from num_partitions to ~cores — each Python-stage task
+        # carries a fixed runner handshake cost, measured ~7 ms).
+        # vs the previous shape (repartition(num_partitions, digest) +
+        # full-row window): one full-corpus body shuffle removed; the cost
+        # is re-reading the pruned columns once.  At a scale where the
+        # loser set cannot broadcast (extreme duplication), pass
+        # dedup=True, num_partitions=None for the windowed full-row path.
+        # Correctness note: keep-first keys on (warc_ts, url); the pipeline
+        # contract has url unique per input row (doc_id = sha2(url); the
+        # completeness invariant is "every url exactly once"), under which
+        # this is exactly the old window's keep-1 semantics.
         order = [blocked.cast("int")] if blocked_domains is not None else []
-        w = Window.partitionBy(F.sha2("text", 256)).orderBy(*order, "warc_ts", "url")
-        df = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        w = Window.partitionBy("_dig").orderBy(*order, "warc_ts", "url")
+        losers = (
+            df.select(F.sha2("text", 256).alias("_dig"), "warc_ts", "url",
+                      *([F.col("_blk")] if blocked_domains is not None else []))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("url", "warc_ts")
         )
+        df = df.join(F.broadcast(losers), ["url", "warc_ts"], "left_anti")
     elif dedup:
         if blocked_domains is not None:
             w = Window.partitionBy(F.sha2("text", 256)).orderBy(

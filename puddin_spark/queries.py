@@ -38,8 +38,28 @@ TABLES = (
 ).split()
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
+    """Scan a catalog table; rebalance=True splits single-chunk inputs.
+
+    The sf-dir tables are single parquet files with ONE row group, so the
+    scan cannot split below one task and every downstream expression runs on
+    a single core regardless of cluster width (profiled: the minhash family
+    spent its whole wall on 2 tasks). Guide section 2.5: input skew from an
+    unsplittable file -> repartition immediately after the read. Opt-in per
+    call site because the exchange only pays for itself when the per-row
+    downstream work dominates the row shuffle (text/UDF-heavy operators);
+    for scan+aggregate queries the partial agg on one task is cheaper than
+    shuffling the rows (measured: tpch_q1 0.29 s -> 1.09 s under a blanket
+    rebalance). No-op whenever the scan already yields defaultParallelism
+    splits — i.e. at any real multi-file scale."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if rebalance:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 # --- shared SQL fragments (valid in BOTH Spark SQL and DuckDB) ---
@@ -89,14 +109,16 @@ _SW_LIST = "[" + ",".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
 
 
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents").withColumn(
+    return read_table(spark, sf_dir, "documents", rebalance=True).withColumn(
         "t", F.expr(f"concat(text, {AUG_SUFFIX_CASE})")
     )
 
 
 def _neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-dup mutants (id+1000000, ' extra tail words here')."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d = read_table(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", "text", "source"
+    )
     m = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat("text", F.lit(" extra tail words here")).alias("text"),

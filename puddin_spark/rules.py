@@ -101,6 +101,62 @@ EXTRA_NEWLINES = re.compile(r"\n{3,}")
 # parse_pile.py:1009) — deliberately never matches the literal sentinel.
 UNK_AS_REGEX = re.compile(UNK)
 
+# --- equivalence-tested fast twins of the two hottest scrub subs ---
+#
+# MISSING_SPACE's alt-1 `([a-z]+)([A-Z])` copies the whole lowercase run into
+# the replacement unchanged, so matching just the LAST run char is output-
+# equivalent: the fused single-alternative pattern below produces byte-
+# identical sub results (proof sketch: at any position both alternatives are
+# mutually exclusive on the char after the first [a-z] — uppercase -> alt 1,
+# punctuation -> alt 2 — and shrinking alt 1's `[a-z]+` to `[a-z]` only moves
+# the match start right by characters that are raw-copied either way; no new
+# match can start inside a pure-lowercase prefix because the fused pattern
+# needs punc-or-uppercase at position 2). Removing the `+` removes sre's
+# O(run^2) consume-and-backtrack per lowercase run — profiled ~4x on prose.
+# tests/test_rules_fast.py fuzzes the equivalence.
+MISSING_SPACE_FAST = re.compile(r"([a-z][.!?,;:]*)([A-Z])")
+
+# Every EOL_ABBR alternative contains exactly one '\n', with at most
+# _EOL_PRE chars of pattern before it (longest abbreviation 'Messrs'/'Assemb'
+# = 6, + 'e?s?' 2 + '\.' 1 + '[^\w\n]?' 1 = 10; 12 leaves margin) and a tail
+# that cannot cross another '\n' ('[A-Z]{2,}' / '[^\n\w]?' exclude it). So a
+# global sub only ever matches in a bounded window around each newline, and
+# the full-text scan (~200 us/doc on prose) collapses to a handful of
+# anchored match attempts per newline (~5 us/doc). Left-to-right non-overlap
+# semantics are preserved by resuming at each match end, exactly like
+# Pattern.sub. tests/test_rules_fast.py fuzzes the equivalence.
+_EOL_PRE = 12
+_EOL_REPL = r"\1\2\5\6 \3\4"
+
+
+def _eol_abbr_sub(t: str) -> str:
+    """EOL_ABBR.sub(_EOL_REPL, t), windowed around newlines (see above)."""
+    pieces: list[str] = []
+    last = 0
+    search_from = 0
+    nl = t.find("\n")
+    n = len(t)
+    while nl != -1:
+        nxt = t.find("\n", nl + 1)
+        endpos = nxt if nxt != -1 else n
+        start = max(search_from, nl - _EOL_PRE)
+        m = None
+        while start <= nl:
+            # match (not search): each attempt is anchored, so the engine
+            # never scans past the newline's bounded prefix window
+            m = EOL_ABBR.match(t, start, endpos)
+            if m is not None:
+                break
+            start += 1
+        if m is not None:
+            pieces.append(t[last : m.start()])
+            pieces.append(m.expand(_EOL_REPL))
+            last = m.end()
+            search_from = m.end()
+        nl = nxt
+    pieces.append(t[last:])
+    return "".join(pieces)
+
 # canonical label order (validate_data_group.py:338-339)
 EXCL_TYPES = ["?unk", "wiki", "html", "json", "code", "_wrd", "a0wrd", "punc", "fail"]
 
@@ -123,25 +179,34 @@ def _has_upper(t: str) -> bool:
     return t != t.lower()
 
 
-def scrub_stage1(text: str) -> str:
+def scrub_stage1(text: str, *, url_possible: bool = True) -> str:
     """C1-C4: transliterate, unwrap bbcode urls, strip urls, repair missing
     spaces (clean_df, parse_pile.py:910-934). Output = the mid-state text the
-    exclusion battery sees."""
+    exclusion battery sees.
+
+    url_possible=False asserts a caller-side guarantee that LIKELY_URL cannot
+    match (the batch UDFs precompute that with one vectorized RE2 pass over a
+    necessary-condition pattern — udfs._url_guard_mask); the sub is then the
+    identity and is skipped. Default True preserves standalone semantics."""
     t = transliterate(text)
     if "[url=" in t:  # BRACKET_URL needs the literal '[url='
         t = BRACKET_URL.sub(r"\1", t)
-    t = LIKELY_URL.sub(" ", t)
+    if url_possible:
+        t = LIKELY_URL.sub(" ", t)
     if _has_upper(t):
-        t = MISSING_SPACE.sub(r"\1\3 \2\4", t)
+        t = MISSING_SPACE_FAST.sub(r"\1 \2", t)
     return t
 
 
-def scrub_stage2(mid: str) -> str:
+def scrub_stage2(mid: str, *, punc_possible: bool = True) -> str:
     """C5-C6: punctuation-run paragraph breaks + line-break abbreviation
-    repair (clean_df, parse_pile.py:956-961). Applied to KEPT docs only."""
-    t = PUNC_ONLY.sub(r"\1\2\3\4\5\6\7\n\n", mid)
+    repair (clean_df, parse_pile.py:956-961). Applied to KEPT docs only.
+
+    punc_possible=False asserts PUNC_ONLY cannot match (vectorized batch
+    guard, udfs._classify_guard_masks); the sub is then the identity."""
+    t = PUNC_ONLY.sub(r"\1\2\3\4\5\6\7\n\n", mid) if punc_possible else mid
     if "\n" in t:  # every EOL_ABBR alternative contains \n
-        t = EOL_ABBR.sub(r"\1\2\5\6 \3\4", t)
+        t = _eol_abbr_sub(t)
     return t
 
 
@@ -160,12 +225,17 @@ def remove_breaks(textstr: str) -> str:
 
 # --- keep/drop battery ---
 
-def classify(mid: str) -> str | None:
+def classify(mid: str, *, midword_possible: bool = True) -> str | None:
     """First-match-wins exclusion label on the mid-state (post-C4) text, or
     None to keep. Order per pull_exclusions (parse_pile.py:1009,1021,1031,
     1084-1107). Substring guards are necessary conditions (see above):
     ?unk needs 'UNK__>', wikipat '|', html '<'/'>', json '{\"', code one of
-    '=<>!', _wrd '_', a0wrd a digit (both alternatives contain \\d)."""
+    '=<>!', _wrd '_', a0wrd a digit (both alternatives contain \\d).
+
+    midword_possible=False asserts MIDWORD_PUNC cannot match (vectorized
+    batch guard over the exact pattern, udfs._classify_guard_masks) — the
+    one battery stage with no cheap substring guard, and on post-C4 prose
+    (spaces repaired) the scan that almost never matches."""
     if "UNK__>" in mid and UNK_AS_REGEX.search(mid):
         return "?unk"
     if DEFWIKI.search(mid) or ("|" in mid and WIKIPAT.search(mid)):
@@ -183,7 +253,7 @@ def classify(mid: str) -> str | None:
         return "_wrd"
     if _has_digit(mid) and MIXED_LETTER_DIGIT.search(mid):
         return "a0wrd"
-    if MIDWORD_PUNC.search(mid):
+    if midword_possible and MIDWORD_PUNC.search(mid):
         return "punc"
     return None
 

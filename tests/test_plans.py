@@ -95,15 +95,27 @@ def test_reference_ids_no_single_partition_sort(spark):
     assert "SinglePartition" not in plan
 
 
-def test_pipeline_single_exchange(spark):
-    """dedup + repartition + UDF must plan exactly ONE shuffle (the explicit
-    text-digest repartition also satisfies the window distribution)."""
-    from puddin_spark.plans import count_exchanges
+def test_pipeline_body_never_shuffles(spark):
+    """r6 dedup shape (guide section 8): the keep-first decision runs over a
+    narrow (digest, warc_ts, url) projection, losers broadcast into a
+    left-anti join, and the document bodies NEVER cross an exchange — the
+    only hash exchange in the plan is the small decision shuffle, and the
+    Python UDF runs pre-shuffle on the scan partitions."""
+    import re
+
     from puddin_spark.pipeline import quality_pipeline
     from puddin_spark.synth import synth_pages_local
 
     v = quality_pipeline(synth_pages_local(spark, 100), num_partitions=4)
-    assert count_exchanges(v) == 1
+    plan = _plan(v)
+    # dedup is a broadcast anti-join of the loser keys
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
+    # exactly one hash exchange: the narrow decision window's
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(hash_exchanges) == 1, hash_exchanges
+    # ... and it carries the digest + order keys, never the text column
+    assert "_dig" in hash_exchanges[0], hash_exchanges[0]
+    assert "text#" not in hash_exchanges[0], hash_exchanges[0]
 
 
 def test_embedding_near_dup_is_bucket_join_not_cartesian(spark):
