@@ -770,24 +770,26 @@ def resolve_duplicate_clusters(
     )
     try:
         for _ in range(max_iterations):
-            neighbor_min = (
+            # message-passing form (r6): neighbor labels and each node's own
+            # label merge in ONE aggregation — the previous join+agg+left-
+            # join chain paid an extra label-set shuffle per round. The own-
+            # label row doubles as the _prev carrier (exactly one _self row
+            # per id), so convergence stays a flat filter+count over the
+            # just-materialized checkpoint blocks.
+            msgs = (
                 edges.join(labels, edges.src == labels.id)
-                .groupBy("dst")
-                .agg(F.min("label").alias("nmin"))
-            )
-            # carry the PREVIOUS label through the checkpoint: convergence
-            # is then a filter+count over the just-materialized blocks — a
-            # flat scan — instead of a second id-keyed join per round
-            # (neutral at sf0.1 where the label table is tiny, but the
-            # removed join is a full label-set shuffle per round at scale)
-            with_prev = (
-                labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
                 .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("nmin", F.col("label"))
-                    ).alias("label"),
-                    F.col("label").alias("_prev"),
+                    F.col("dst").alias("id"), "label", F.lit(False).alias("_self")
+                )
+                .unionByName(
+                    labels.select("id", "label", F.lit(True).alias("_self"))
+                )
+            )
+            with_prev = (
+                msgs.groupBy("id")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("_self"), F.col("label"))).alias("_prev"),
                 )
                 .localCheckpoint()
             )

@@ -497,6 +497,86 @@ def incremental_srp_band_pairs(
     )
 
 
+def srp_batch_pairs_matmul(
+    index: DataFrame,
+    bands: DataFrame,
+    *,
+    min_cos: float,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Within-batch near-dup pairs (id_a, id_b, cos_sim) with id_a < id_b
+    and round(cos, 6) >= min_cos — the new-vs-new edge set cluster
+    resolution needs, produced the committed_srp_flip_ids way: band rows
+    rejoin their vectors (ONE join, linear in bucket membership), shuffle
+    once by (band, bucket), and each bucket computes its pairwise cosine
+    block as chunked numpy matmuls inside applyInPandas, emitting only the
+    pairs that clear the threshold.
+
+    Pair-set-identical to incremental_srp_band_pairs(index, bands, None,
+    None, min_cos=...) (pinned by pytest): same 6-dp rounding before the
+    threshold, duplicates across bands collapse in the final distinct (the
+    recomputed cosine is bit-identical per band — same vectors, same
+    block arithmetic). What changes is the cost shape: the enumerate-
+    then-join form materialized every bucket co-member pair and shuffled
+    each with TWO ~0.5 KB vectors attached (measured 2M candidate rows /
+    ~2 GB of shuffled vector payload for a 3.5k-doc template-heavy batch);
+    here the shuffle carries one vector per band row and pairs above
+    threshold are the only rows that ever exist. Per-group memory: the
+    bucket's vectors plus one m x `chunk` score block."""
+    import numpy as np
+
+    rows = bands.select("id", "band", "bucket").join(
+        index.select("id", "v"), "id"
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=object),
+                "id_b": pd.Series([], dtype=object),
+                "cos_sim": pd.Series([], dtype=float),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        v = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(v, axis=1)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, v.shape[0], chunk):
+            cc = v[s : s + chunk]
+            scores = v @ cc.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.round(scores / (n[:, None] * n[s : s + chunk][None, :]), 6)
+            ri, ci = np.nonzero(scores >= min_cos)
+            ci_g = ci + s  # global column index
+            keep = ri != ci_g  # drop self-pairs
+            ri, ci_g = ri[keep], ci_g[keep]
+            if ri.size:
+                a_ids, b_ids = ids[ri], ids[ci_g]
+                swap = a_ids > b_ids
+                lo = np.where(swap, b_ids, a_ids)
+                hi = np.where(swap, a_ids, b_ids)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(scores[ri, ci_g - s])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
+        ).drop_duplicates(["id_a", "id_b"])
+
+    return (
+        rows.groupBy("band", "bucket")
+        .applyInPandas(_pairs, "id_a string, id_b string, cos_sim double")
+        .distinct()
+    )
+
+
 def committed_srp_flip_ids(
     new_index: DataFrame,
     new_bands: DataFrame,

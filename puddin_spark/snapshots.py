@@ -1150,7 +1150,7 @@ def _apply_embedding_near_dedup(
     from puddin_spark.operators.similarity import (
         band_occupancy,
         committed_srp_flip_ids,
-        incremental_srp_band_pairs,
+        srp_batch_pairs_matmul,
     )
 
     srp_store = SnapshotStore(store.base / "srp_index")
@@ -1232,10 +1232,14 @@ def _apply_embedding_near_dedup(
             new_idx, new_bands, committed_idx, committed_bands,
             min_cos=_SRP_ND_MIN_COS,
         )
-    # new-vs-new keeps FULL pair enumeration: cluster resolution needs the
-    # whole edge set, not an existence bit
-    pairs = incremental_srp_band_pairs(
-        new_idx, new_bands, None, None, min_cos=_SRP_ND_MIN_COS
+    # new-vs-new needs the whole edge set (cluster resolution), but not the
+    # enumerate-then-join shape: srp_batch_pairs_matmul emits the same pair
+    # set from per-bucket numpy blocks (pair-set equality pytest-pinned)
+    # without materializing bucket-co-member candidate rows or shuffling
+    # two vectors per candidate — measured 2M candidate rows / ~2 GB of
+    # shuffled vector payload per 6k-doc batch on the old path
+    pairs = srp_batch_pairs_matmul(
+        new_idx, new_bands, min_cos=_SRP_ND_MIN_COS
     ).persist()
     drops = (
         flips.select(F.col("new_id").alias("doc_id"))

@@ -813,6 +813,41 @@ def test_committed_flip_ids_match_full_enumeration(spark):
         assert got == want, f"chunk={chunk}: {got ^ want}"
 
 
+def test_srp_batch_pairs_matmul_matches_enumeration(spark):
+    """srp_batch_pairs_matmul (r6: per-bucket numpy pair emission, the
+    new-vs-new edge generator the sidecar uses) must produce EXACTLY the
+    pair set incremental_srp_band_pairs enumerates at the same threshold —
+    at chunk=1 (every column its own slice), chunk=5, and one unchunked
+    block. The sidecar's cluster resolution consumes these edges, so
+    set equality here is flip-set equality there."""
+    from puddin_spark.operators.similarity import (
+        incremental_srp_band_pairs,
+        srp_batch_pairs_matmul,
+    )
+
+    new_idx, new_bands, com_idx, com_bands = _srp_test_corpus(spark)
+    # within-batch edges over the union corpus: dup-template heavy
+    idx = new_idx.unionByName(com_idx)
+    from puddin_spark.operators.similarity import srp_band_table
+
+    bands = srp_band_table(idx, num_planes=16, num_bands=8)
+    want = {
+        (r.id_a, r.id_b)
+        for r in incremental_srp_band_pairs(
+            idx, bands, None, None, min_cos=0.99
+        ).collect()
+    }
+    assert want, "corpus must produce within-batch pairs"
+    for chunk in (1, 5, 10**6):
+        got = {
+            (r.id_a, r.id_b)
+            for r in srp_batch_pairs_matmul(
+                idx, bands, min_cos=0.99, chunk=chunk
+            ).collect()
+        }
+        assert got == want, f"chunk={chunk}: {got ^ want}"
+
+
 def test_band_occupancy_telemetry(spark):
     """band_occupancy: hottest-first, new/committed split sums to total,
     top_k bounded."""
