@@ -381,10 +381,25 @@ def cmd_export(args) -> int:
             spark.stop()
             return 2
         ppl = spark.read.parquet(ppl_dir)
-        key = ppl.columns[0]  # score-ppl's id_col: url or doc_id
+        # select the id column BY NAME: relying on parquet column order
+        # (ppl.columns[0]) would silently join on the wrong column after a
+        # schema reorder or an externally-written artifact (ADVICE r5)
+        key = next((c for c in ("url", "doc_id") if c in ppl.columns), None)
+        if key is None:
+            print(json.dumps({
+                "ok": False,
+                "error": f"{ppl_dir} has no url/doc_id id column"
+                f" (columns: {ppl.columns})",
+            }))
+            spark.stop()
+            return 2
         kept = ppl.filter(
             F.col("ppl").isNotNull() & (F.col("ppl") <= args.ppl_max)
         ).select(key)
+        # count the kept docs the artifact never scored BEFORE the semi-join
+        # drops them — surfaced in the summary (ppl_unscored_excluded), so
+        # the exclusion is loud, as the comment above promises
+        ppl_unscored = docs.join(ppl.select(key), key, "left_anti").count()
         docs = docs.join(kept, key, "left_semi")
     if args.budget:
         docs = token_budget_sample(docs, args.budget, "n_tokens", salt=args.salt)
@@ -461,6 +476,7 @@ def cmd_export(args) -> int:
         summary["importance_budget"] = args.importance_budget
     if args.ppl_max is not None:
         summary["ppl_max"] = args.ppl_max
+        summary["ppl_unscored_excluded"] = ppl_unscored
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -35,6 +35,7 @@ the builder brief grades alongside SURVEY §2.
 """
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -194,6 +195,12 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
     per-worker word->pieces memo amortizes repeated words — web text's
     Zipf head makes the memo the dominant path."""
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # tokenize EXACTLY like word_table/tokens_col (Java \s+ = [ \t\n\x0b\f\r]):
+    # Python str.split() splits on all Unicode whitespace (e.g. U+00A0 NBSP,
+    # common in web text), which would cut words the trained merge table
+    # never saw — the encoder must see the tokenization the merges were
+    # learned over (ADVICE r5).
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _enc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -201,7 +208,9 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
 
         def enc_text(text) -> list[str]:
             out: list[str] = []
-            for w in (text or "").lower().split():
+            for w in java_ws.split((text or "").lower()):
+                if not w:
+                    continue
                 hit = memo.get(w)
                 if hit is None:
                     hit = _encode_word(w, ranks)

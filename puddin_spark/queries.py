@@ -1080,7 +1080,7 @@ def q_ngram_lm_table(spark, sf_dir):
     deterministic."""
     from puddin_spark.operators import ngram_lm as nlm
 
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", rebalance=True)
     return (
         nlm.train_ngram_lm(d, n=3, materialize=True)
         .orderBy("order", F.desc("logp_fp"), "gram")
@@ -1097,7 +1097,7 @@ def q_ngram_perplexity(spark, sf_dir):
     the end."""
     from puddin_spark.operators import ngram_lm as nlm
 
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", rebalance=True)
     lm = nlm.train_ngram_lm(d, n=3, materialize=True)
     return nlm.score_perplexity(d, lm, broadcast_lm=True, checkpoint_lm=True)
 

@@ -127,6 +127,32 @@ def test_encoder_matches_reference_and_roundtrips(spark, docs):
         assert rejoined == " ".join(text.lower().split())
 
 
+def test_encoder_tokenizes_like_word_table_on_nbsp(spark, docs):
+    """ADVICE r5 (medium): the encoder must tokenize with Java \\s+
+    semantics (ASCII whitespace only) exactly like word_table/tokens_col —
+    a U+00A0 NBSP joins its neighbors into ONE word (Python str.split()
+    would cut it into two, diverging from the trained merge statistics)."""
+    merges = bpe.train_bpe_from_corpus(docs, 12)
+    text = "low lower andnewest"  # NBSP and \x0b
+    pdf = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    enc = bpe.bpe_encode_udf(merges)
+    got = pdf.select("doc_id", enc(F.col("text")).alias("pieces")).collect()[0].pieces
+    # the words the TRAINING tokenization produces for this text
+    spark_words = [
+        r.word
+        for r in bpe.word_table(pdf).select("word").orderBy("word").collect()
+    ]
+    assert "low lower" in spark_words  # NBSP does NOT split (Java \s)
+    assert "and" in spark_words and "newest" in spark_words  # \x0b DOES
+    want = []
+    import re as _re
+
+    for w in _re.split(r"[ \t\n\x0b\f\r]+", text.lower()):
+        if w:
+            want.extend(_py_encode(w, merges))
+    assert got == want
+
+
 def test_training_plan_no_python(spark, docs):
     """Training's Spark jobs (word table, pair counts) are pure codegen —
     Python appears only in the encoder UDF."""
