@@ -775,7 +775,10 @@ def resolve_duplicate_clusters(
             # join chain paid an extra label-set shuffle per round. The own-
             # label row doubles as the _prev carrier (exactly one _self row
             # per id), so convergence stays a flat filter+count over the
-            # just-materialized checkpoint blocks.
+            # just-materialized checkpoint blocks. (A two-hops-per-
+            # checkpoint variant was measured SLOWER on the LSH graphs this
+            # engine resolves: their diameter is 2-3, so the extra hop per
+            # round exceeds the saved checkpoint+count job latency.)
             msgs = (
                 edges.join(labels, edges.src == labels.id)
                 .select(
