@@ -225,6 +225,9 @@ def minhash_lsh_pairs(
     # intermediate per row at O(bucket) not O(bucket^2); a degenerate hot
     # bucket is still quadratic in emitted pairs, exactly as the join was
     # (that is what max_bucket bounds).
+    # no dropDuplicates here: _verify_jaccard regroups by (id_a, id_b), so
+    # multi-band duplicate candidates collapse in the aggregation it runs
+    # anyway — a separate distinct would be one extra full shuffle
     cand = (
         bands.groupBy("band_ix", "band_key")
         .agg(F.collect_list("id").alias("_ids"))
@@ -234,7 +237,6 @@ def minhash_lsh_pairs(
             "id_a",
             F.explode(F.expr("filter(_ids, y -> y > id_a)")).alias("id_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     return _verify_jaccard(cand, sig.select("id", "sh"), jaccard_threshold)
 
@@ -668,6 +670,13 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b")
     )
+    # NOTE (r6): _verify_jaccard's single-join+regroup form was tried here
+    # and measured SLOWER (1.1 -> 2.0 s at sf0.1): this verifier's candidate
+    # set is the blocked all-pairs product (orders of magnitude larger than
+    # an LSH candidate set), and the regroup shuffles two n-gram arrays per
+    # surviving pair, while the two-join form computes jaccard inline and
+    # filters before any further shuffle. Subtree duplication is the lesser
+    # cost when candidates >> corpus.
     ng_only = g.select("id", "ng")
     return (
         cand.join(

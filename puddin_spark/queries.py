@@ -109,7 +109,10 @@ _SW_LIST = "[" + ",".join(f"'{w}'" for w in textstats.EN_STOPWORDS) + "]"
 
 
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents", rebalance=True).withColumn(
+    # no rebalance: the classify battery is ~56 us/doc over ~300 B docs, so
+    # the repartition exchange costs more than 32-wide execution saves
+    # (A/B'd at sf0.1: classify_battery 0.53 s -> 0.75 s with rebalance)
+    return read_table(spark, sf_dir, "documents").withColumn(
         "t", F.expr(f"concat(text, {AUG_SUFFIX_CASE})")
     )
 
