@@ -20,6 +20,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _rebalanced(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input cannot split (single-chunk
+    parquet => one scan task): the ANN family's per-row work is interpreted
+    higher-order cosine folds, so a 1-task corpus serializes the whole
+    computation regardless of cluster width (guide section 2.5, input-skew
+    bullet). No-op whenever the scan already yields defaultParallelism
+    partitions — i.e. at any real multi-file scale."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _dot(a: str, b: str):
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
@@ -53,8 +66,8 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = _rebalanced(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -219,7 +232,13 @@ def train_centroids(
     )
     cents = [(i + 1, list(r["nv"])) for i, r in enumerate(init)]
     dims = len(cents[0][1]) if cents else 0
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    # every Lloyd iteration re-projects the corpus through the inlined-
+    # centroid assignment expression: rebalance once so the iterations
+    # don't serialize on a single scan task (results are partitioning-
+    # independent by design — integer fixed-point sums)
+    c = _rebalanced(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    )
     for _ in range(iters):
         # assignment is a shuffle-free projection (nearest_cells_expr): the
         # only exchange per Lloyd iteration is the (cell, dim) partial-agg
@@ -280,7 +299,9 @@ def ivf_topk(
     # both coarse-quantization steps are shuffle-free projections over the
     # inlined centroid literals (nearest_cells_expr) — the corpus is never
     # shuffled for assignment, only for the probe equi-join below
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    c = _rebalanced(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    )
     assigned = c.select(
         "nid", "nv", nearest_cells_expr("nv", centroids, 1)[0].alias("cell")
     )
