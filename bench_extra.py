@@ -31,12 +31,15 @@ def main() -> None:
     names: list[str] = []
     it = iter(args)
     for a in it:
-        if a == "--tag":
-            tag = next(it)
-        elif a == "--reps":
-            reps = int(next(it))
-        else:
-            names.append(a)
+        try:
+            if a == "--tag":
+                tag = next(it)
+            elif a == "--reps":
+                reps = int(next(it))
+            else:
+                names.append(a)
+        except StopIteration:
+            raise SystemExit(f"missing value for {a}") from None
 
     from bench import BENCH_QUERIES
     from puddin_spark.queries import ALL_QUERIES
@@ -60,17 +63,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         results[name] = round(best, 3)
         # plan capture for the judge (the declared query's physical plan)
-        try:
-            plan = q(spark, SF_DIR)._sc._jvm.PythonSQLUtils.explainString(
-                q(spark, SF_DIR)._jdf.queryExecution(), "formatted"
+        df = q(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
             )
-        except Exception:
-            df = q(spark, SF_DIR)
-            plan = df._jdf.queryExecution().explainString(
-                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
-                )
-            )
+        )
         with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as f:
             f.write(plan)
     spark.sparkContext.setJobDescription(None)

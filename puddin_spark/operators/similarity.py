@@ -26,7 +26,13 @@ def _rebalanced(df: DataFrame) -> DataFrame:
     higher-order cosine folds, so a 1-task corpus serializes the whole
     computation regardless of cluster width (guide section 2.5, input-skew
     bullet). No-op whenever the scan already yields defaultParallelism
-    partitions — i.e. at any real multi-file scale."""
+    partitions — i.e. at any real multi-file scale.
+
+    Caveat: the df.rdd partition-count probe finalizes the adaptive plan,
+    which EXECUTES any upstream shuffle stages. Every in-repo caller hands
+    the ANN operators a bare scan (probe cost ~ms); a corpus derived
+    through joins/aggregations would pay its upstream stages twice —
+    materialize such a frame (or read it from storage) first."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
@@ -535,17 +541,24 @@ def srp_batch_pairs_matmul(
 
     Pair-set-identical to incremental_srp_band_pairs(index, bands, None,
     None, min_cos=...) (pinned by pytest): same 6-dp rounding before the
-    threshold, duplicates across bands collapse in the final distinct (the
-    recomputed cosine is bit-identical per band — same vectors, same
-    block arithmetic). What changes is the cost shape: the enumerate-
-    then-join form materialized every bucket co-member pair and shuffled
-    each with TWO ~0.5 KB vectors attached (measured 2M candidate rows /
-    ~2 GB of shuffled vector payload for a 3.5k-doc template-heavy batch);
-    here the shuffle carries one vector per band row and pairs above
-    threshold are the only rows that ever exist. Per-group memory: the
-    bucket's vectors plus one m x `chunk` score block."""
+    threshold. Duplicates across bands collapse in the final
+    dropDuplicates on (id_a, id_b) — NOT on the cosine too: the same pair
+    is recomputed per colliding band by differently-shaped BLAS blocks
+    (different bucket membership/chunk geometry), so the two values can
+    differ in the last ulp pre-rounding; keying the dedup on the ids alone
+    makes the pair set deterministic while cos_sim is one representative
+    rounded value (threshold-exact — every copy cleared min_cos). What
+    changes vs enumerate-then-join is the cost shape: that form
+    materialized every bucket co-member pair and shuffled each with TWO
+    ~0.5 KB vectors attached (measured 2M candidate rows / ~2 GB of
+    shuffled vector payload for a 3.5k-doc template-heavy batch); here the
+    shuffle carries one vector per band row and pairs above threshold are
+    the only rows that ever exist. Per-group memory: the bucket's vectors
+    plus one m x `chunk` score block. Output id columns keep the index's
+    id type."""
     import numpy as np
 
+    id_type = index.schema["id"].dataType.simpleString()
     rows = bands.select("id", "band", "bucket").join(
         index.select("id", "v"), "id"
     )
@@ -593,8 +606,8 @@ def srp_batch_pairs_matmul(
 
     return (
         rows.groupBy("band", "bucket")
-        .applyInPandas(_pairs, "id_a string, id_b string, cos_sim double")
-        .distinct()
+        .applyInPandas(_pairs, f"id_a {id_type}, id_b {id_type}, cos_sim double")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

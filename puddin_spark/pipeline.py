@@ -8,20 +8,21 @@ Arrow-batched pandas UDFs (scrub+classify, segmentation), whose ordering is
 load-bearing (filter order defines labels) and which Catalyst correctly
 treats as a unit.
 
-Scale posture (north_rule):
+Scale posture (north_rule, r6 shape):
 - language gate + column pruning happen BEFORE the UDF so parquet scans push
   the `lang` filter down and never ship `html` bytes into Python;
-- explicit repartition by url-hash before the heavy UDF stage gives uniform
-  work units (reference analog: 9,999-doc slices, parse_pile.py:34) and
-  avoids inheriting skewed upstream partitioning;
-- dedup keep-first is a window over sha2(text) ordered by (warc_ts, url): a
-  single hash shuffle that moves 32-byte digests, never document bodies —
-  the shape that survives 10^12 docs (semantics identical to a raw-text
-  window; both first-wins on the same text equality). Hot digests (one text
-  duplicated 10^9 times) do NOT become a single-task straggler: Spark plans
-  row_number()==1 as WindowGroupLimit with a Partial (map-side) pass — see
-  the executed plan in tests/test_plans.py — so each input partition
-  forwards at most one candidate row per digest into the shuffle.
+- dedup keep-first decides on a NARROW proxy projection (sha2(text),
+  warc_ts, url — optimization guide section 8): the only hash shuffle in
+  the plan carries ~100-byte decision rows, the loser urls broadcast into
+  a left-anti join, and document bodies never cross an exchange at all;
+- the heavy UDF then runs pre-shuffle on the scan's byte-balanced splits —
+  uniform work units without a repartition (and ~cores Python tasks
+  instead of 4x cores: each Python-stage task carries a fixed runner
+  handshake cost). The windowed full-row path (dedup_first /
+  dedup_broadcast=False) remains for corpora whose duplicate fraction is
+  too large for the loser set to broadcast; there, hot digests still do
+  NOT become a single-task straggler: Spark plans row_number()==1 as
+  WindowGroupLimit with a Partial (map-side) pass — see tests/test_plans.py.
 """
 from __future__ import annotations
 
@@ -71,6 +72,7 @@ def quality_pipeline(
     with_timing: bool = False,
     html_fallback: bool = False,
     blocked_domains: DataFrame | None = None,
+    dedup_broadcast: bool = True,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> per-document verdict table
     (doc_id, url, warc_ts, lang, clean_text, keep, excl_type).
@@ -78,6 +80,17 @@ def quality_pipeline(
     Dropped docs keep their excl_type label (the reference's exclusions df,
     parse_pile.py:988-990) — keep and drop sides live in one table, split by
     the `keep` flag (SURVEY.md section 1.4).
+
+    num_partitions selects the scale-shaped dedup (r6): with it set, the
+    keep-first decision runs over a narrow digest projection and the loser
+    keys broadcast into a left-anti join — document bodies never shuffle and
+    the UDF runs pre-shuffle on the byte-balanced scan partitions (the value
+    itself no longer drives a repartition; scan splits already give uniform
+    work units). dedup_broadcast=False keeps num_partitions' branch but
+    falls back to the windowed full-row dedup — the escape hatch for
+    batches whose duplicate fraction is too large for the loser set to
+    broadcast (forced F.broadcast has no size guard by design; the caller
+    knows its batch shape).
 
     with_timing appends a `proc_ts` column (epoch seconds stamped per Arrow
     batch INSIDE the same Python pass as the scrub/classify UDF) so
@@ -129,7 +142,7 @@ def quality_pipeline(
             .drop("_dom")
         )
         blocked = F.coalesce(F.col("_blk"), F.lit(False))
-    if dedup and num_partitions:
+    if dedup and num_partitions and dedup_broadcast:
         # Decide with small rows, never move the big rows (optimization
         # guide section 8): the keep-first decision depends only on
         # (sha2(text), warc_ts, url) — ~100 bytes/doc — so the dedup window
@@ -145,11 +158,17 @@ def quality_pipeline(
         # full-row window): one full-corpus body shuffle removed; the cost
         # is re-reading the pruned columns once.  At a scale where the
         # loser set cannot broadcast (extreme duplication), pass
-        # dedup=True, num_partitions=None for the windowed full-row path.
-        # Correctness note: keep-first keys on (warc_ts, url); the pipeline
+        # dedup_broadcast=False (or num_partitions=None) for the windowed
+        # full-row path.
+        # Correctness note: the anti-join keys on url ALONE — the pipeline
         # contract has url unique per input row (doc_id = sha2(url); the
         # completeness invariant is "every url exactly once"), under which
-        # this is exactly the old window's keep-1 semantics.
+        # this is exactly the old window's keep-1 semantics, including rows
+        # with null warc_ts (a composite (url, warc_ts) key would never
+        # match a null ts in the anti-join and dup copies would survive —
+        # caught in review). Inputs that violate the contract (two rows
+        # sharing a url) dedup at url granularity here where the old window
+        # deduped at row granularity.
         order = [blocked.cast("int")] if blocked_domains is not None else []
         w = Window.partitionBy("_dig").orderBy(*order, "warc_ts", "url")
         losers = (
@@ -157,9 +176,9 @@ def quality_pipeline(
                       *([F.col("_blk")] if blocked_domains is not None else []))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") > 1)
-            .select("url", "warc_ts")
+            .select("url")
         )
-        df = df.join(F.broadcast(losers), ["url", "warc_ts"], "left_anti")
+        df = df.join(F.broadcast(losers), ["url"], "left_anti")
     elif dedup:
         if blocked_domains is not None:
             w = Window.partitionBy(F.sha2("text", 256)).orderBy(

@@ -161,14 +161,18 @@ class SnapshotStore:
         O_EXCL of the commit protocol."""
         token = uuid.uuid4().hex
         staging = self.base / "_staging" / token
-        if partition_by:
+        if partition_by and not stats_cols:
             # Iceberg write.distribution-mode=hash analog (optimization
             # guide section 6): cluster rows by the partition columns before
             # a partitionBy write, or every input task writes one file into
             # every partition directory (observed: a 32-partition band frame
             # x 16 prefix dirs = ~500 tiny files per commit, and the commit
             # wall was file-creation overhead). One shuffle, one file per
-            # populated directory.
+            # populated directory. SKIPPED when stats_cols is set: that
+            # contract requires the CALLER's range clustering
+            # (repartitionByRange + sortWithinPartitions, see docstring) to
+            # reach the files unchanged, or every file's min/max overlaps
+            # and read_where prunes nothing.
             data = data.repartition(*[F.col(c) for c in partition_by])
         writer = data.write.mode("overwrite")
         if partition_by:
@@ -581,6 +585,7 @@ def run_resumable_pipeline(
     ppl_lm: DataFrame | None = None,
     ppl_max: float = 0.0,
     partition_by: list[str] | None = None,
+    dedup_broadcast: bool = True,
 ) -> tuple[int, int]:
     """One resumable pipeline run: process only not-yet-committed urls,
     commit verdicts + per-partition lineage atomically.
@@ -723,9 +728,12 @@ def run_resumable_pipeline(
             )
     # with_timing: Arrow-batch stamps ride the UDF pass so the committed
     # lineage carries real per-partition started_at/finished_at/duration_s
+    # dedup_broadcast=False is the escape hatch for ingest batches whose
+    # duplicate fraction makes the loser set too large to broadcast
+    # (quality_pipeline docstring) — the windowed full-row dedup runs then
     verdicts = quality_pipeline(
         todo, num_partitions=num_partitions, with_timing=True,
-        blocked_domains=blocked_domains,
+        blocked_domains=blocked_domains, dedup_broadcast=dedup_broadcast,
     )
     if gopher:
         # cheapest gate first: a codegen-only flip that shrinks the kept

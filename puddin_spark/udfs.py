@@ -47,13 +47,18 @@ _URL_GUARD_RE2 = r"https?|www\.|\w\.\w+\.\w"
 # ^[\W_]+$ span (kept verbatim — RE2-safe) or >=3 consecutive copies of one
 # non-alnum char (alt b needs 5, alt c 4, alt d 3; '.' only qualifies via
 # alt b, hence the 5-dot arm). RE2 has no backreferences, so the same-char
-# runs are enumerated per ASCII char into one DFA-compiled alternation.
+# runs are enumerated per ASCII char into one DFA-compiled alternation —
+# including NUL (escaped as \x00: chr(0) is a valid PUNC_ONLY run char, and
+# an enumeration starting at 1 silently skipped it — caught in review).
 _PUNC3_CHARS = [
-    chr(c) for c in range(1, 128) if not chr(c).isalnum() and chr(c) not in "\n."
+    chr(c) for c in range(0, 128) if not chr(c).isalnum() and chr(c) not in "\n."
 ]
 _PUNC_GUARD_RE2 = (
     "(?m:^[\\W_]+$)|"
-    + "|".join(re.escape(c) + "{3}" for c in _PUNC3_CHARS)
+    + "|".join(
+        ("\\x%02x" % ord(c) if ord(c) < 0x20 else re.escape(c)) + "{3}"
+        for c in _PUNC3_CHARS
+    )
     + r"|\.{5}"
 )
 
@@ -72,14 +77,23 @@ def _url_guard_mask(texts: pd.Series) -> list:
     return pc.or_kleene(pc.match_substring_regex(arr, _URL_GUARD_RE2), force).to_pylist()
 
 
-def _classify_guard_masks(mids: list) -> tuple[list, list]:
+def _classify_guard_masks(
+    mids: list, with_punc: bool = True
+) -> tuple[list, list]:
     """(punc_possible, midword_possible) per row, evaluated on the exact
-    mid-state strings the spec patterns run against (no staging gap)."""
+    mid-state strings the spec patterns run against (no staging gap).
+    with_punc=False skips the PUNC_ONLY DFA pass (and returns an all-True
+    punc mask) for callers that only classify and never run scrub_stage2."""
     arr = pa.array(mids, type=pa.string())
     force = pc.or_kleene(pc.is_null(arr), pc.invert(pc.string_is_ascii(arr)))
-    punc = pc.or_kleene(pc.match_substring_regex(arr, _PUNC_GUARD_RE2), force)
+    if with_punc:
+        punc = pc.or_kleene(
+            pc.match_substring_regex(arr, _PUNC_GUARD_RE2), force
+        ).to_pylist()
+    else:
+        punc = [True] * len(mids)
     mid = pc.or_kleene(pc.match_substring_regex(arr, _MIDWORD_GUARD_RE2), force)
-    return punc.to_pylist(), mid.to_pylist()
+    return punc, mid.to_pylist()
 
 
 def _process_batch(texts: pd.Series) -> pd.DataFrame:
@@ -149,7 +163,7 @@ def scrub_full_udf(texts: pd.Series) -> pd.Series:
 
 
 def _classify_batch(mids: pd.Series) -> pd.Series:
-    _, midword_mask = _classify_guard_masks(list(mids))
+    _, midword_mask = _classify_guard_masks(list(mids), with_punc=False)
     return pd.Series(
         [
             "fail"

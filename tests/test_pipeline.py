@@ -42,6 +42,38 @@ def verdicts(spark):
     return out
 
 
+def test_dedup_drops_null_warc_ts_losers(spark):
+    """r6 regression (caught in review): the broadcast-anti-join dedup must
+    remove duplicate copies even when warc_ts is null — a composite
+    (url, warc_ts) anti-join key would never match a null ts and the dup
+    copy would survive. The loser key is url alone (the row key by
+    contract), so null-ts losers drop exactly like the old window's."""
+    rows = [
+        ("https://a.example/1", None, "twin body words here once"),
+        ("https://a.example/2", None, "twin body words here once"),
+        ("https://a.example/3", "2021-01-01 00:00:00", "solo body words"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, ts, None, t, "en") for u, ts, t in rows],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    for kwargs in (dict(num_partitions=4), dict(num_partitions=None)):
+        got = {r.url for r in quality_pipeline(pages, **kwargs).collect()}
+        # nulls-first (ts, url) order: /1 wins the twin group, /2 drops
+        assert got == {"https://a.example/1", "https://a.example/3"}, (kwargs, got)
+
+
+def test_dedup_broadcast_escape_hatch_is_equivalent(spark):
+    """dedup_broadcast=False (the windowed full-row fallback for batches
+    whose loser set cannot broadcast) must produce the identical verdict
+    table as the default broadcast-anti-join path."""
+    pages = synth_pages_local(spark, 150)
+    fast = quality_pipeline(pages, num_partitions=4)
+    safe = quality_pipeline(pages, num_partitions=4, dedup_broadcast=False)
+    assert fast.exceptAll(safe).count() == 0
+    assert safe.exceptAll(fast).count() == 0
+
+
 def test_fixture_label_parity_e2e(verdicts):
     rows = verdicts.filter(F.col("url").startswith("https://fixtures")).collect()
     # fixture texts duplicated across sample-1/sample-2 dedup to the first
