@@ -962,12 +962,15 @@ def incremental_minhash_pairs(
     b = bands.select(
         F.col("id").alias("id_b"), F.col("_new").alias("new_b"), "band_ix", "band_key"
     )
+    # no dropDuplicates: _verify_jaccard regroups by (id_a, id_b,
+    # committed_side) and committed_side is a pure function of the endpoint
+    # ids, so multi-band duplicates collapse in the aggregation it runs
+    # anyway (see minhash_lsh_pairs)
     cand = (
         a.join(b, ["band_ix", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.col("new_a") | F.col("new_b"))  # at least one new endpoint
         .select("id_a", "id_b", (~(F.col("new_a") & F.col("new_b"))).alias("committed_side"))
-        .dropDuplicates(["id_a", "id_b"])
     )
     return _verify_jaccard(
         cand, both.select("id", "sh"), jaccard_threshold
